@@ -1,0 +1,110 @@
+"""Parity: both Spark mention strategies == pure-Python oracle."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from thesaurus_based_ner_spark.functions.matcher import build_matcher, match_sentence
+from thesaurus_based_ner_spark.functions.text import sentencize, tokenize
+from thesaurus_based_ner_spark.operators.mentions import (
+    bio_tags_df,
+    detect_mentions_df,
+    detect_mentions_trie,
+    thesaurus_with_case,
+    tokenize_df,
+)
+from thesaurus_based_ner_spark.sources.webtext import (
+    THESAURUS,
+    make_document,
+    synth_webtext,
+)
+
+TERM2LABEL = dict(THESAURUS)
+N_DOCS = 120
+
+
+@pytest.fixture(scope="module")
+def sentences(spark):
+    docs = synth_webtext(spark, N_DOCS).filter(F.col("lang") == "en")
+    snts = docs.select(
+        "url", F.posexplode(F.split("text", r"(?<=[.!?])\s+")).alias("snt_id", "snt")
+    )
+    return tokenize_df(snts, "snt").cache()
+
+
+def oracle_mentions(spark_rows):
+    trie = build_matcher(TERM2LABEL, tokenize)
+    out = set()
+    for url, snt_id, toks in spark_rows:
+        for s, e, lab in match_sentence(trie, list(toks)):
+            out.add((url, snt_id, s, e, " ".join(toks[s : e]), lab))
+    return out
+
+
+def _collect(df):
+    return {
+        (r.url, r.snt_id, r.m_start, r.m_end, r.surface, r.label)
+        for r in df.collect()
+    }
+
+
+def test_df_strategy_matches_oracle(spark, sentences):
+    th = thesaurus_with_case(spark, TERM2LABEL)
+    got = _collect(detect_mentions_df(sentences, th, ["url", "snt_id"]))
+    want = oracle_mentions(
+        [(r.url, r.snt_id, r.tokens) for r in sentences.collect()]
+    )
+    assert got == want
+    assert len(got) > 50  # corpus actually exercises the matcher
+
+
+def test_trie_strategy_matches_oracle(spark, sentences):
+    got = _collect(detect_mentions_trie(sentences, TERM2LABEL, ["url", "snt_id"]))
+    want = oracle_mentions(
+        [(r.url, r.snt_id, r.tokens) for r in sentences.collect()]
+    )
+    assert got == want
+
+
+def test_spark_sentencize_matches_python(spark):
+    # Java regex and Python re agree on the sentence splitter
+    docs = synth_webtext(spark, 40)
+    rows = docs.select(
+        "text", F.split("text", r"(?<=[.!?])\s+").alias("snts")
+    ).collect()
+    for r in rows:
+        assert list(r.snts) == sentencize(r.text)
+
+
+def test_spark_tokenize_matches_python(spark, sentences):
+    for r in sentences.select("snt", "tokens").collect():
+        assert list(r.tokens) == tokenize(r.snt)
+
+
+def test_webtext_byte_identity(spark):
+    from thesaurus_based_ner_spark.functions.text import extract_text
+
+    for r in synth_webtext(spark, 30).collect():
+        assert extract_text(bytes(r.html)) == r.text
+
+
+def test_webtext_deterministic_at_any_partitioning(spark):
+    a = synth_webtext(spark, 50, partitions=2).orderBy("url").collect()
+    b = synth_webtext(spark, 50, partitions=13).orderBy("url").collect()
+    assert a == b
+
+
+def test_bio_tags(spark, sentences):
+    th = thesaurus_with_case(spark, TERM2LABEL)
+    mentions = detect_mentions_df(sentences, th, ["url", "snt_id"])
+    tagged = bio_tags_df(sentences, mentions, ["url", "snt_id"])
+    rows = tagged.select("url", "snt_id", "tokens", "ner_tags").collect()
+    trie = build_matcher(TERM2LABEL, tokenize)
+    from thesaurus_based_ner_spark.functions.matcher import spans_to_bio
+
+    for r in rows:
+        toks = list(r.tokens)
+        want = spans_to_bio(len(toks), match_sentence(trie, toks))
+        assert list(r.ner_tags) == want, (r.url, r.snt_id, toks)
+    # at least one sentence has a non-O tag
+    assert any(t != "O" for r in rows for t in r.ner_tags)

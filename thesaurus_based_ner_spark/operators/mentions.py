@@ -1,0 +1,259 @@
+"""Mention detection — the core operator (SURVEY.md §2.11 U1/U2, §2.5 W1/W5).
+
+Two interchangeable physical strategies with identical semantics (parity
+is pytest-enforced against the pure-Python oracle in functions/matcher.py):
+
+1. ``detect_mentions_df`` — pure DataFrame: token n-gram generation with
+   higher-order functions (one explode, no Python), broadcast hash join
+   against the thesaurus, window-based overlap resolution. Fully JVM-side /
+   whole-stage-codegen; the default at scale. N-gram fan-out is pruned to
+   the distinct token-lengths present in the thesaurus, so cost is
+   Σ|tokens| × |distinct term lengths| candidate rows that die in the
+   broadcast join's hash probe — no shuffle until the (tiny) mention set.
+
+2. ``detect_mentions_trie`` — Arrow-batched ``mapInPandas`` running the
+   broadcast token-trie (functions/matcher.py). One pass per sentence,
+   no candidate blow-up; wins when the thesaurus has many long terms. This
+   is the "batched Aho-Corasick/trie matching inside vectorized
+   pandas-on-Arrow UDFs" shape of the north star: per *batch* Python, never
+   per-row serde.
+
+Overlap semantics (both paths): reference leave_only_longet_match —
+connected overlap components, keep max-end then min-start
+(/root/reference/src/ner_model/matcher_model.py:61-98) — then
+joint_adjacent_term merge (matcher_model.py:186-210).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from thesaurus_based_ner_spark.functions.matcher import (
+    build_matcher,
+    match_sentence,
+    split_case_sensitivity,
+)
+from thesaurus_based_ner_spark.functions.text import TOKEN_RE, tokenize
+
+MENTION_COLS = ("m_start", "m_end", "surface", "label")
+
+
+def tokenize_df(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
+    """Add a tokens array column. regexp_extract_all is JVM-side/codegen."""
+    return df.withColumn(
+        out, F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    )
+
+
+def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
+    """Thesaurus dim: (term, label, joined, joined_lower, cs).
+
+    `joined` is the space-joined token form (what n-gram surfaces look
+    like); `cs` is the reference case-sensitivity split
+    (string_match.py:91-140).
+    """
+    cs_terms, _ = split_case_sensitivity(list(term2label))
+    rows = []
+    for term, label in term2label.items():
+        joined = " ".join(tokenize(term))
+        rows.append(
+            (term, label, joined, joined.lower(), term in cs_terms, len(tokenize(term)))
+        )
+    return spark.createDataFrame(
+        rows, "term string, label string, joined string, joined_lower string, cs boolean, n_tokens int"
+    )
+
+
+def _ngram_candidates(df: DataFrame, id_cols: list[str], lens: list[int]) -> DataFrame:
+    """All (start, end, surface) n-grams for the given lengths.
+
+    Single explode of a higher-order-function expression — the tokens array
+    is never duplicated across candidate rows before the explode.
+    """
+    lens_sql = ", ".join(str(n) for n in sorted(lens))
+    cand = F.expr(
+        f"""
+        flatten(transform(tokens, (_t, pos) ->
+          filter(
+            transform(array({lens_sql}), n ->
+              IF(pos + n <= size(tokens),
+                 struct(CAST(pos AS BIGINT) AS m_start,
+                        CAST(pos + n AS BIGINT) AS m_end,
+                        concat_ws(' ', slice(tokens, pos + 1, n)) AS surface),
+                 CAST(NULL AS struct<m_start:BIGINT,m_end:BIGINT,surface:STRING>))),
+            x -> x IS NOT NULL)))
+        """
+    )
+    return df.select(*id_cols, F.explode(cand).alias("c")).select(*id_cols, "c.*")
+
+
+def match_candidates(
+    cand: DataFrame, thesaurus: DataFrame, surface_col: str = "surface"
+) -> DataFrame:
+    """Broadcast-join candidates against the case-split thesaurus."""
+    cs = thesaurus.filter("cs").select(
+        F.col("joined").alias("__t"), F.col("label")
+    )
+    ci = thesaurus.filter("NOT cs").select(
+        F.col("joined_lower").alias("__t"), F.col("label")
+    )
+    m_cs = cand.join(F.broadcast(cs), cand[surface_col] == cs["__t"], "inner").drop("__t")
+    m_ci = cand.join(
+        F.broadcast(ci), F.lower(cand[surface_col]) == ci["__t"], "inner"
+    ).drop("__t")
+    return m_cs.unionByName(m_ci)
+
+
+def resolve_overlaps_df(matches: DataFrame, id_cols: list[str]) -> DataFrame:
+    """W1: connected overlap components → keep max-end then min-start.
+
+    Island detection: sorted by start, a new component begins when
+    start >= running max(end) over all previous spans. Window-only —
+    one shuffle on id_cols which the subsequent merge reuses.
+    """
+    w = Window.partitionBy(*id_cols).orderBy("m_start", "m_end")
+    prev_max_end = F.max("m_end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    with_grp = (
+        matches.withColumn("__pme", prev_max_end)
+        .withColumn(
+            "__grp",
+            F.sum(
+                F.when(F.col("m_start") >= F.coalesce(F.col("__pme"), F.lit(-1)), 1).otherwise(0)
+            ).over(w),
+        )
+        .drop("__pme")
+    )
+    w_pick = Window.partitionBy(*id_cols, "__grp").orderBy(
+        F.col("m_end").desc(), F.col("m_start").asc()
+    )
+    return (
+        with_grp.withColumn("__rn", F.row_number().over(w_pick))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__grp")
+    )
+
+
+def merge_adjacent_df(resolved: DataFrame, id_cols: list[str]) -> DataFrame:
+    """W5: merge exactly-adjacent spans; label of the max-end member.
+
+    Input must be non-overlapping (after resolve_overlaps_df).
+    """
+    w = Window.partitionBy(*id_cols).orderBy("m_start")
+    lag_end = F.lag("m_end").over(w)
+    with_isl = resolved.withColumn(
+        "__isl",
+        F.sum(
+            F.when(F.col("m_start") > F.coalesce(lag_end, F.lit(-1)), 1).otherwise(0)
+        ).over(w),
+    )
+    return (
+        with_isl.groupBy(*id_cols, "__isl")
+        .agg(
+            F.min("m_start").alias("m_start"),
+            F.max("m_end").alias("m_end"),
+            F.max_by("label", "m_end").alias("label"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m_start", "surface"))),
+                    lambda s: s["surface"],
+                ),
+                " ",
+            ).alias("surface"),
+        )
+        .drop("__isl")
+    )
+
+
+def detect_mentions_df(
+    df: DataFrame,
+    thesaurus: DataFrame,
+    id_cols: list[str],
+    tokens_col: str = "tokens",
+    merge_adjacent: bool = True,
+) -> DataFrame:
+    """Pure-DataFrame mention detection (strategy 1). df needs tokens_col."""
+    lens = [r[0] for r in thesaurus.select("n_tokens").distinct().collect()]
+    base = df.withColumnRenamed(tokens_col, "tokens") if tokens_col != "tokens" else df
+    cand = _ngram_candidates(base, id_cols, lens)
+    matches = match_candidates(cand, thesaurus)
+    resolved = resolve_overlaps_df(matches, id_cols)
+    return merge_adjacent_df(resolved, id_cols) if merge_adjacent else resolved
+
+
+_TRIE_CACHE: dict[int, object] = {}
+
+
+def detect_mentions_trie(
+    df: DataFrame,
+    term2label: dict[str, str],
+    id_cols: list[str],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """mapInPandas trie matcher (strategy 2). Semantics == strategy 1.
+
+    The term2label dict is shipped via a Spark broadcast; the token trie is
+    built once per executor process (cached on the broadcast id) — the
+    Spark-native analog of the reference's md5-keyed persisted darts trie
+    (string_match.py:23-68).
+    """
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(term2label)
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema}
+    id_schema = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
+    out_schema = (
+        id_schema
+        + ", m_start bigint, m_end bigint, surface string, label string"
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        key = id(bc.value)
+        trie = _TRIE_CACHE.get(key)
+        if trie is None:
+            trie = build_matcher(bc.value, tokenize)
+            _TRIE_CACHE[key] = trie
+        for pdf in batches:
+            rows = []
+            ids = pdf[list(id_cols)].itertuples(index=False, name=None)
+            for idv, toks in zip(ids, pdf[tokens_col]):
+                toks = list(toks)
+                for s, e, lab in match_sentence(trie, toks):
+                    rows.append(idv + (s, e, " ".join(toks[s:e]), lab))
+            yield pd.DataFrame(
+                rows, columns=list(id_cols) + ["m_start", "m_end", "surface", "label"]
+            )
+
+    return df.select(*id_cols, tokens_col).mapInPandas(run, schema=out_schema)
+
+
+def bio_tags_df(
+    sentences: DataFrame, mentions: DataFrame, id_cols: list[str], tokens_col: str = "tokens"
+) -> DataFrame:
+    """Attach BIO ner_tags to sentences from a mention table.
+
+    nc-* labels are dropped at encode time (two_stage.py:47-65). Pure SQL:
+    build an index→tag map from the spans, then transform over positions.
+    """
+    spans = (
+        mentions.filter(~F.col("label").startswith("nc-"))
+        .groupBy(*id_cols)
+        .agg(F.collect_list(F.struct("m_start", "m_end", "label")).alias("__spans"))
+    )
+    joined = sentences.join(spans, id_cols, "left")
+    tag_expr = F.expr(
+        f"""
+        IF(size({tokens_col}) = 0, array(),
+        transform(sequence(0, size({tokens_col}) - 1), i ->
+          coalesce(
+            element_at(
+              map_from_entries(
+                flatten(transform(coalesce(__spans, array()), sp ->
+                  transform(sequence(sp.m_start, sp.m_end - 1), j ->
+                    struct(j AS k, IF(j = sp.m_start, concat('B-', sp.label),
+                                       concat('I-', sp.label)) AS v))))),
+              i),
+            'O')))
+        """
+    )
+    return joined.withColumn("ner_tags", tag_expr).drop("__spans")

@@ -1,0 +1,117 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All pure built-in expressions (JVM-side, codegen),
+each mirrorable in ANSI SQL for DuckDB oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from thesaurus_based_ner_spark.functions.text import TOKEN_RE
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "les", "de", "et", "est", "un", "une", "des", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "un", "una", "que", "en"],
+}
+
+
+def _tokens_lower(text_col: str):
+    return F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0)),
+        lambda t: F.lower(t),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic language ID: argmax stopword-hit ratio across languages.
+
+    Ties (and zero hits) fall back to 'und'. Deterministic: languages are
+    compared in a fixed order with strict-greater, so the first language in
+    STOPWORDS order wins ties — same rule in SQL oracles.
+    """
+    toks = _tokens_lower(text_col)
+    out = df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
+    for lang, words in STOPWORDS.items():
+        hits = F.size(F.array_intersect(F.array_distinct(F.col("__toks")), F.array(*[F.lit(w) for w in words])))
+        out = out.withColumn(f"__hits_{lang}", hits.cast("bigint"))
+    best = F.lit("und")
+    best_hits = F.lit(0).cast("bigint")
+    for lang in STOPWORDS:  # fixed order; strict > keeps first-wins ties
+        cond = F.col(f"__hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"__hits_{lang}")).otherwise(best_hits)
+    return out.select(
+        "id", best.alias("pred_lang"), best_hits.alias("stopword_hits")
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + score.
+
+    score = 0.4·min(n_tokens/100, 1) + 0.3·(1 − punct_ratio) +
+            0.3·min(stopword_ratio·5, 1), rounded to 6 dp.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        toks.alias("__toks"),
+    ).select(
+        "id",
+        "n_chars",
+        F.size("__toks").cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.filter("__toks", lambda t: t.rlike("^[^A-Za-z0-9_]$")))
+            / F.greatest(F.size("__toks"), F.lit(1))
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter("__toks", lambda t: F.lower(t).isin(STOPWORDS["en"])))
+            / F.greatest(F.size("__toks"), F.lit(1))
+        ).alias("stopword_ratio"),
+    )
+    score = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.col("punct_ratio"))
+        + 0.3 * F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    )
+    return base.select(
+        "id",
+        "n_chars",
+        "n_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens, regex (BPE-ish) tokens, distinct tokens."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    rx = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0))
+        .otherwise(F.size(ws))
+        .cast("bigint")
+        .alias("ws_tokens"),
+        F.size(rx).cast("bigint").alias("re_tokens"),
+        F.size(F.array_distinct(rx)).cast("bigint").alias("distinct_tokens"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic document fingerprint: min/max md5 over token set +
+    full-text md5 — an order-invariant content signature (1-permutation
+    MinHash). Portable to ANSI SQL.
+    """
+    toks = _tokens_lower(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.array_min(F.transform(F.array_distinct(toks), F.md5)).alias("min_tok_md5"),
+        F.array_max(F.transform(F.array_distinct(toks), F.md5)).alias("max_tok_md5"),
+    )

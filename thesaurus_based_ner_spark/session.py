@@ -1,0 +1,67 @@
+"""SparkSession factory tuned for this engine.
+
+Local mode is a proxy for a multi-executor cluster: every config here is
+chosen to also be correct at 1000 executors (AQE, skew-join handling,
+Arrow batching). ``cpus`` is parameterized so the scaling benchmark can run
+the same job at N and 4N parallelism (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 64
+
+
+def get_spark(
+    app_name: str = "thesaurus_based_ner_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cpus=None → local[*]. On a real cluster this builder is bypassed by
+    spark-submit; everything it sets is also safe as --conf flags.
+    """
+    if cpus is None:
+        cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
+        cpus = int(cpus_env) if cpus_env else 0
+    master = f"local[{cpus}]" if cpus and cpus > 0 else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, (cpus or 32) * 2)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan below .cache() boundaries (default false pins the
+        # pre-AQE partitioning — 200 tiny window tasks on small data)
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow for every pandas UDF / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic timestamps vs DuckDB oracles.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Local mode: driver is the only JVM.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
