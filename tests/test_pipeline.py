@@ -1,0 +1,136 @@
+"""End-to-end pipeline: triple parity vs pure-Python oracle (north_rule
+P/R ≥ 0.95 — we require 1.0), byte-identity counters, and kill/rerun
+resumability.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from thesaurus_based_ner_spark.functions.matcher import build_matcher, match_sentence
+from thesaurus_based_ner_spark.functions.text import sentencize, tokenize
+from thesaurus_based_ner_spark.plans.pipeline import (
+    extract_stage,
+    run_pipeline,
+    verify_extraction,
+)
+from thesaurus_based_ner_spark.sources.catalog import Catalog
+from thesaurus_based_ner_spark.sources.webtext import (
+    THESAURUS,
+    make_document,
+    synth_anchor_text,
+    synth_redirects,
+    synth_webtext,
+)
+
+N_DOCS = 80
+TERM2LABEL = dict(THESAURUS)
+
+
+@pytest.fixture(scope="module")
+def catalog(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("catalog"))
+    return Catalog(spark, root)
+
+
+@pytest.fixture(scope="module")
+def triples(spark, catalog):
+    webtext = synth_webtext(spark, N_DOCS)
+    anchor = synth_anchor_text(spark, 800)
+    redirects = synth_redirects(spark)
+    return run_pipeline(
+        spark,
+        catalog,
+        webtext,
+        TERM2LABEL,
+        anchor,
+        redirects,
+        corpus_fingerprint=f"synth:{N_DOCS}",
+    ).cache()
+
+
+def oracle_triples() -> set:
+    """Pure-Python reimplementation of mention-typing triples."""
+    trie = build_matcher(TERM2LABEL, tokenize)
+    out = set()
+    for i in range(N_DOCS):
+        url, _, _, text, lang = make_document(i)
+        if lang != "en":
+            continue
+        for sid, snt in enumerate(sentencize(text)):
+            toks = tokenize(snt)
+            for s, e, lab in match_sentence(trie, toks):
+                mid = f"{url}:{sid}:{s}:{e}"
+                if not lab.startswith("nc-"):
+                    out.add((mid, "rdf:type", lab))
+                out.add((mid, "anchorOf", " ".join(toks[s:e])))
+                out.add((mid, "mentionedIn", url))
+    return out
+
+
+def test_triple_parity_vs_oracle(triples):
+    got = {
+        (r.subj, r.pred, r.obj)
+        for r in triples.filter(
+            F.col("pred").isin("rdf:type", "anchorOf", "mentionedIn")
+        ).collect()
+    }
+    want = oracle_triples()
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    assert precision == 1.0 and recall == 1.0, (
+        f"P={precision} R={recall}; spark-only={list(got - want)[:5]}, "
+        f"oracle-only={list(want - got)[:5]}"
+    )
+    assert len(want) > 100
+
+
+def test_linked_and_canonical_triples_exist(triples):
+    preds = {r.pred for r in triples.select("pred").distinct().collect()}
+    assert {"rdf:type", "anchorOf", "mentionedIn", "linkedTo", "skos:altLabel"} <= preds
+    # redirect chain ent_America → ent_US → ent_USA must canonicalize together
+    alt = triples.filter(F.col("pred") == "skos:altLabel")
+    assert alt.count() > 0
+
+
+def test_extraction_byte_identity_counter(spark):
+    ext = extract_stage(synth_webtext(spark, 40))
+    stats = verify_extraction(ext)
+    assert stats["rows"] == 40
+    assert stats["mismatches"] == 0
+
+
+def test_lineage_written(catalog, triples):
+    lin = catalog.lineage()
+    stages = {m["stage"] for m in lin}
+    assert {"extract", "sentencize", "match", "link", "canonicalize", "materialize"} <= stages
+    for m in lin:
+        assert m["rows_out"] == sum(p["rows"] for p in m["partitions"])
+
+
+def test_resume_skips_finished_stages(spark, catalog, triples):
+    """Kill/rerun semantics: drop the final stage only; rerun must reuse
+    earlier checkpoints (their lineage mtime unchanged) and rebuild the rest.
+    """
+    before = {m["table"]: m["written_at"] for m in catalog.lineage()}
+    catalog.drop("triples")
+    webtext = synth_webtext(spark, N_DOCS)
+    anchor = synth_anchor_text(spark, 800)
+    redirects = synth_redirects(spark)
+    t2 = run_pipeline(
+        spark, catalog, webtext, TERM2LABEL, anchor, redirects,
+        corpus_fingerprint=f"synth:{N_DOCS}",
+    )
+    after = {m["table"]: m["written_at"] for m in catalog.lineage()}
+    for tbl in ["extracted", "sentences", "mentions", "linked", "canonical"]:
+        assert after[tbl] == before[tbl], f"{tbl} was rebuilt on resume"
+    assert after["triples"] != before.get("triples")
+    assert t2.count() == triples.count()
+
+
+def test_fingerprint_invalidation(spark, catalog):
+    """Changing the thesaurus fingerprint rebuilds downstream stages."""
+    assert not catalog.exists("mentions", fingerprint="other")
+    assert catalog.exists("mentions")

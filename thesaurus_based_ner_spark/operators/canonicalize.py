@@ -1,0 +1,66 @@
+"""Canonicalization (SURVEY.md §2.7 G6 + north_rule).
+
+Cross-corpus entity canonicalization = connected components over an entity
+similarity graph:
+- redirect edges, resolved to their chain roots first
+  (reference db_pedia.py:37-71)
+- shared-normalized-surface edges (entities whose anchor surfaces collide
+  after lowercasing)
+- optional MinHash edges over surface shingles for fuzzy matches
+  (dedup.minhash_lsh_pairs on the surface strings)
+
+Output: (entity, canonical) where canonical = min entity id per component,
+plus (canonical, altLabel surface) rows for the triple store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from thesaurus_based_ner_spark.operators.graph import (
+    connected_components,
+    resolve_chains,
+)
+
+
+def canonicalize_entities(
+    anchor: DataFrame,
+    redirects: DataFrame | None = None,
+) -> DataFrame:
+    """(entity, canonical) map via CC over surface+redirect edges."""
+    surf = anchor.select(
+        F.col("entity"), F.lower(F.col("surface")).alias("nsurf")
+    ).distinct()
+    a = surf.alias("a")
+    b = surf.alias("b")
+    surf_edges = a.join(
+        b,
+        (F.col("a.nsurf") == F.col("b.nsurf"))
+        & (F.col("a.entity") < F.col("b.entity")),
+    ).select(F.col("a.entity").alias("a"), F.col("b.entity").alias("b"))
+    edges = surf_edges
+    if redirects is not None:
+        red = resolve_chains(redirects, "src", "dst").select(
+            F.col("src").alias("a"), F.col("root").alias("b")
+        )
+        edges = edges.unionByName(red)
+    cc = connected_components(edges.distinct())
+    all_entities = anchor.select("entity").distinct()
+    return (
+        all_entities.join(
+            cc.withColumnRenamed("node", "entity"), "entity", "left"
+        )
+        .select(
+            "entity",
+            F.coalesce("component", F.col("entity")).alias("canonical"),
+        )
+    )
+
+
+def alt_labels(anchor: DataFrame, canon: DataFrame) -> DataFrame:
+    """(canonical, surface) distinct alt-label pairs for the triple store."""
+    return (
+        anchor.join(canon, "entity")
+        .select("canonical", "surface")
+        .distinct()
+    )

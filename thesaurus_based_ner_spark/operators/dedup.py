@@ -169,30 +169,42 @@ def minhash_lsh_pairs(
     return cands.join(exact, ["a_id", "b_id"], "inner")
 
 
-def simhash16(text_col: str) -> F.Column:
-    """Portable 16-bit SimHash: per-token md5 hex nibbles vote per bit.
+def _shingle_col(k: int) -> F.Column:
+    """k-token shingle array from a __toks array column (non-distinct)."""
+    return F.expr(
+        f"""
+        array_distinct(
+          IF(size(__toks) < {k}, array(concat_ws(' ', __toks)),
+             transform(sequence(1, size(__toks) - {k} + 1), i ->
+               concat_ws(' ', slice(__toks, i, {k})))))
+        """
+    )
 
-    Bit j of a token's hash = high bit of hex nibble j of md5(token); the
-    doc's bit j is 1 iff ≥ half the (distinct) tokens set it. Expressible
-    identically in ANSI SQL (substr(md5(tok), j, 1) IN ('89abcdef')) so a
-    DuckDB oracle can mirror it exactly.
+
+def simhash32() -> F.Column:
+    """Portable 32-bit SimHash over a __sh (distinct shingles) / __n
+    (shingle count) column pair.
+
+    Bit j (0..31) of a shingle's hash = high bit of hex nibble j of
+    md5(shingle); the doc's bit j is 1 iff ≥ half the shingles set it.
+    Expressible identically in ANSI SQL (substr(md5(s), j+1, 1) IN
+    ('8'..'f')) so a DuckDB oracle can mirror it bit-exactly. Shingle
+    features (not unigrams) keep the signature discriminative even over a
+    small vocabulary.
     """
-    toks = F.array_distinct(_tokens(text_col))
-    bit_votes = [
-        F.size(
-            F.filter(
-                toks,
-                lambda t: F.substring(F.md5(t), j + 1, 1).isin(
-                    *list("89abcdef")
-                ),
-            )
-        )
-        for j in range(16)
-    ]
-    n = F.size(toks)
     bits = [
-        F.when(F.lit(2) * v >= n, F.lit(1 << j)).otherwise(F.lit(0))
-        for j, v in enumerate(bit_votes)
+        F.when(
+            F.lit(2)
+            * F.size(
+                F.filter(
+                    F.col("__sh"),
+                    lambda t: F.substring(F.md5(t), j + 1, 1).isin(*list("89abcdef")),
+                )
+            )
+            >= F.col("__n"),
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(32)
     ]
     out = bits[0]
     for bcol in bits[1:]:
@@ -200,25 +212,36 @@ def simhash16(text_col: str) -> F.Column:
     return out.cast("bigint")
 
 
-def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 2
-) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ k.
-
-    Candidate generation: block on the two 8-bit halves (pigeonhole: any
-    pair with hamming ≤ 2 over 16 bits agrees exactly on at least one
-    half... only guaranteed for ≤1 per half; for k ≤ 2 we block on both
-    halves and verify, accepting the standard SimHash-blocking recall
-    contract). Verification computes the true hamming distance.
-    """
-    h = df.select(
-        F.col(id_col).alias("id"), simhash16(text_col).alias("sh")
-    ).cache()
-    lo = h.withColumn("blk", F.col("sh") % 256)
-    hi = h.withColumn("blk", (F.col("sh") / 256).cast("bigint"))
-    blocks = lo.withColumn("side", F.lit(0)).unionByName(
-        hi.withColumn("side", F.lit(1))
+def simhash_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
+        .withColumn("__sh", _shingle_col(k))
+        .withColumn("__n", F.size("__sh"))
+        .select("id", simhash32().alias("sh"))
     )
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, k: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 32-bit shingle-SimHash hamming distance ≤ 3.
+
+    Candidate generation blocks on the four 8-bit bytes of the signature:
+    any pair within hamming ≤ 3 has ≤ 3 differing bits spread over 4
+    blocks, so at least one block matches exactly (pigeonhole) —
+    candidates are provably a superset; exact hamming verification then
+    makes the result identical to the brute-force oracle.
+    """
+    h = simhash_table(df, id_col, text_col, k).cache()
+    blocks = None
+    for j in range(4):
+        blk = h.select(
+            "id",
+            "sh",
+            F.lit(j).alias("side"),
+            F.shiftright("sh", 8 * j).bitwiseAND(F.lit(255)).alias("blk"),
+        )
+        blocks = blk if blocks is None else blocks.unionByName(blk)
     a = blocks.alias("a")
     b = blocks.alias("b")
     cands = (

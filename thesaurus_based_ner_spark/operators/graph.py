@@ -1,0 +1,148 @@
+"""Graph / hierarchy operators (SURVEY.md §2.7 G1-G6).
+
+Iterative DataFrame fixpoints with bounded depth + convergence checks,
+localCheckpoint every few rounds to cut lineage (SURVEY §7 "what's hard").
+All loops are driver-side control flow over distributed joins — no
+collect() of edge data.
+
+Reference parity:
+- ancestor_closure    ← expand_tuis / expand_dbpedia_cats + tree ascendants
+                        (/root/reference/src/dataset/utils.py:138-173,343-360)
+- resolve_chains      ← redirect transitive closure until fixpoint
+                        (/root/reference/src/kb_loader/db_pedia.py:55-71)
+- connected_components← UnionFind (/root/reference/src/utils/utils.py:17-38),
+                        lifted from per-sentence to corpus scale via
+                        min-label propagation (large-star/small-star shape)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _checkpoint(df: DataFrame) -> DataFrame:
+    return df.localCheckpoint(eager=True)
+
+
+def ancestor_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    include_self: bool = True,
+    max_depth: int = 32,
+) -> DataFrame:
+    """(node, ancestor) transitive closure of a DAG by iterative self-join.
+
+    Doubles the reachable depth per iteration is unnecessary for shallow
+    ontologies (UMLS tree depth ≤ 9); we extend one level per round and stop
+    when no new pairs appear. include_self mirrors the reference's
+    get_ascendant_tuis which includes the node itself (utils.py:343-360).
+    """
+    e = edges.select(
+        F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
+    ).distinct()
+    closure = _checkpoint(e)
+    frontier = closure
+    for _ in range(max_depth):
+        nxt = (
+            frontier.alias("f")
+            .join(e.alias("e"), F.col("f.ancestor") == F.col("e.node"))
+            .select(F.col("f.node"), F.col("e.ancestor"))
+            .distinct()
+            .join(closure, ["node", "ancestor"], "left_anti")
+        )
+        nxt = _checkpoint(nxt)
+        if nxt.isEmpty():
+            break
+        closure = _checkpoint(closure.unionByName(nxt))
+        frontier = nxt
+    if include_self:
+        nodes = (
+            e.select("node")
+            .union(e.select("ancestor"))
+            .distinct()
+            .select("node", F.col("node").alias("ancestor"))
+        )
+        closure = closure.unionByName(nodes).distinct()
+    return closure
+
+
+def resolve_chains(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_depth: int = 32,
+) -> DataFrame:
+    """(src, root) — follow src→dst chains to their terminal node.
+
+    Semantics of the reference's redirect resolution loop
+    (db_pedia.py:55-71): iterate replacing dst by dst's own target until no
+    dst is itself a source. Chains are assumed acyclic (redirect chains);
+    max_depth bounds pathological cycles — on hitting it, remaining rows
+    keep their last target (same as the reference's break-on-no-progress).
+    """
+    cur = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("root"))
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    )
+    for _ in range(max_depth):
+        stepped = (
+            cur.join(e, cur["root"] == e["__s"], "left")
+            .select("src", F.coalesce("__d", "root").alias("root"),
+                    F.col("__s").isNotNull().alias("__moved"))
+        )
+        stepped = _checkpoint(stepped)
+        if stepped.filter("__moved").isEmpty():
+            cur = stepped.drop("__moved")
+            break
+        cur = stepped.drop("__moved")
+    return cur
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """(node, component) with component = min node id in the component.
+
+    Min-label propagation over symmetrized edges; each round one shuffle
+    join + aggregate; converges in O(component diameter) rounds (our
+    canonicalization graphs are shallow: shared-surface stars). For
+    web-scale graphs swap in large-star/small-star — same contract.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .union(edges.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .distinct()
+    )
+    sym = _checkpoint(sym)
+    labels = (
+        sym.select("u").distinct().select("u", F.col("u").alias("component"))
+    )
+    labels = _checkpoint(labels)
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2"))
+            .groupBy("u")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+                (
+                    F.coalesce("nmin", F.col("component")) < F.col("component")
+                ).alias("__changed"),
+            )
+        )
+        new_labels = _checkpoint(new_labels)
+        changed = new_labels.filter("__changed").isEmpty() is False
+        labels = new_labels.drop("__changed")
+        if not changed:
+            break
+    return labels.select(F.col("u").alias("node"), "component")

@@ -1,0 +1,217 @@
+"""End-to-end KG-construction pipeline (north_rule).
+
+Stages (each an Iceberg/parquet checkpoint with per-partition lineage,
+resumable by fingerprint — reference analog: md5-keyed buffer dirs,
+/root/reference/src/ner_model/typer/data_translator.py:463-483):
+
+  webtext → extract (byte-identity verified) → sentences → mentions
+          → linked mentions → canonical entities → triples
+
+Physical shape of the hot path (SURVEY.md §4):
+  BatchScan webtext (lang filter pushed down) → mapInPandas[extract] →
+  explode sentences (built-in) → broadcast-join mention match (JVM) or
+  broadcast-trie mapInPandas → window dedup → broadcast link join →
+  repartitionByRange(subj) → partitioned triple write.
+
+Only HTML extraction and (optionally) trie matching leave the JVM, both as
+Arrow-batched pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from thesaurus_based_ner_spark.functions.text import SENT_SPLIT_RE, extract_text
+from thesaurus_based_ner_spark.operators.canonicalize import (
+    alt_labels,
+    canonicalize_entities,
+)
+from thesaurus_based_ner_spark.operators.linking import (
+    candidate_table,
+    link_mentions,
+)
+from thesaurus_based_ner_spark.operators.mentions import (
+    detect_mentions_df,
+    detect_mentions_trie,
+    thesaurus_with_case,
+    tokenize_df,
+)
+from thesaurus_based_ner_spark.sources.catalog import Catalog
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string"
+
+
+def extract_stage(webtext: DataFrame) -> DataFrame:
+    """HTML → text extraction (Arrow-batched), byte-identity checked.
+
+    Emits (url, text, lang, extract_ok); extract_ok compares the extracted
+    text with the stored text column byte-for-byte — the north_rule per-row
+    invariant. Counter metrics via the lineage sidecar + an aggregate check
+    in verify_extraction().
+    """
+
+    def run(batches):
+        for pdf in batches:
+            ext = [extract_text(bytes(h)) for h in pdf["html"]]
+            out = pdf[["url", "lang"]].copy()
+            out["text"] = ext
+            out["extract_ok"] = [a == b for a, b in zip(ext, pdf["text"])]
+            yield out
+
+    return webtext.mapInPandas(
+        run, schema="url string, lang string, text string, extract_ok boolean"
+    )
+
+
+def sentence_stage(extracted: DataFrame, lang: str = "en") -> DataFrame:
+    """Filter lang (pushed down), split sentences, tokenize — all built-in."""
+    snts = extracted.filter(F.col("lang") == lang).select(
+        "url",
+        F.posexplode(F.split("text", SENT_SPLIT_RE)).alias("snt_id", "snt"),
+    )
+    return tokenize_df(snts.filter(F.length("snt") > 0), "snt").drop("snt")
+
+
+def mention_stage(
+    sentences: DataFrame,
+    term2label: dict[str, str],
+    strategy: str = "df",
+) -> DataFrame:
+    if strategy == "trie":
+        return detect_mentions_trie(sentences, term2label, ["url", "snt_id"])
+    th = thesaurus_with_case(sentences.sparkSession, term2label)
+    return detect_mentions_df(sentences, th, ["url", "snt_id"])
+
+
+def triple_stage(
+    linked: DataFrame, canon: DataFrame, anchor: DataFrame
+) -> DataFrame:
+    """Assemble (subj, pred, obj) triples (SURVEY.md §7 output model)."""
+    m = linked.withColumn(
+        "mention_id",
+        F.concat_ws(
+            ":",
+            F.col("url"),
+            F.col("snt_id").cast("string"),
+            F.col("m_start").cast("string"),
+            F.col("m_end").cast("string"),
+        ),
+    )
+    typed = m.filter(~F.col("label").startswith("nc-")).select(
+        F.col("mention_id").alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.col("label").alias("obj"),
+    )
+    anchor_of = m.select(
+        F.col("mention_id").alias("subj"),
+        F.lit("anchorOf").alias("pred"),
+        F.col("surface").alias("obj"),
+    )
+    mentioned_in = m.select(
+        F.col("mention_id").alias("subj"),
+        F.lit("mentionedIn").alias("pred"),
+        F.col("url").alias("obj"),
+    )
+    link_canon = (
+        m.filter(F.col("entity").isNotNull())
+        .join(F.broadcast(canon), "entity", "left")
+        .select(
+            F.col("mention_id").alias("subj"),
+            F.lit("linkedTo").alias("pred"),
+            F.coalesce("canonical", "entity").alias("obj"),
+        )
+    )
+    alt = alt_labels(anchor, canon).select(
+        F.col("canonical").alias("subj"),
+        F.lit("skos:altLabel").alias("pred"),
+        F.col("surface").alias("obj"),
+    )
+    return (
+        typed.unionByName(anchor_of)
+        .unionByName(mentioned_in)
+        .unionByName(link_canon)
+        .unionByName(alt)
+    )
+
+
+def _fp(*parts) -> str:
+    return hashlib.md5(json.dumps(parts, sort_keys=True, default=str).encode()).hexdigest()
+
+
+def run_pipeline(
+    spark: SparkSession,
+    catalog: Catalog,
+    webtext: DataFrame,
+    term2label: dict[str, str],
+    anchor: DataFrame,
+    redirects: DataFrame | None = None,
+    strategy: str = "df",
+    corpus_fingerprint: str = "",
+) -> DataFrame:
+    """Run (or resume) the full pipeline; returns the triples DataFrame.
+
+    Every stage is fingerprinted on (corpus, thesaurus, strategy); a rerun
+    after a crash reuses all finished stages (kill/rerun test in
+    tests/test_pipeline.py).
+    """
+    th_fp = _fp(sorted(term2label.items()))
+    base_fp = _fp(corpus_fingerprint, th_fp, strategy)
+
+    extracted = catalog.materialize(
+        "extracted",
+        lambda: extract_stage(webtext),
+        fingerprint=base_fp,
+        stage="extract",
+    )
+    sentences = catalog.materialize(
+        "sentences",
+        lambda: sentence_stage(extracted),
+        fingerprint=base_fp,
+        stage="sentencize",
+    )
+    mentions = catalog.materialize(
+        "mentions",
+        lambda: mention_stage(sentences, term2label, strategy),
+        fingerprint=base_fp,
+        stage="match",
+    )
+    candidates = catalog.materialize(
+        "candidates",
+        lambda: candidate_table(anchor),
+        fingerprint=base_fp,
+        stage="candidates",
+    )
+    linked = catalog.materialize(
+        "linked",
+        lambda: link_mentions(catalog.read("mentions"), catalog.read("candidates")),
+        fingerprint=base_fp,
+        stage="link",
+    )
+    canon = catalog.materialize(
+        "canonical",
+        lambda: canonicalize_entities(anchor, redirects),
+        fingerprint=base_fp,
+        stage="canonicalize",
+    )
+    triples = catalog.materialize(
+        "triples",
+        lambda: triple_stage(
+            catalog.read("linked"), catalog.read("canonical"), anchor
+        ),
+        fingerprint=base_fp,
+        partition_by=["pred"],
+        stage="materialize",
+    )
+    return triples
+
+
+def verify_extraction(extracted: DataFrame) -> dict:
+    """Byte-identity counters for the extraction invariant."""
+    row = extracted.agg(
+        F.count("*").alias("rows"),
+        F.sum(F.when(F.col("extract_ok"), 0).otherwise(1)).alias("mismatches"),
+    ).collect()[0]
+    return {"rows": row["rows"], "mismatches": row["mismatches"] or 0}

@@ -1,0 +1,1073 @@
+"""Query registry: every operator from SURVEY.md §2 as a (spark, sf_dir) →
+DataFrame callable plus a DuckDB oracle SQL string over the same parquet.
+
+Conventions that make the driver's order-insensitive value-hash comparison
+deterministic across engines:
+- every aggregate / computed column is explicitly aliased identically here
+  and in the SQL;
+- money sums go through DECIMAL(18,2/4) (exact, order-independent) and are
+  cast to DOUBLE only at the end;
+- ratios are ROUND(x, 6); ints are CAST to BIGINT;
+- timestamps are formatted to strings before output.
+
+The Spark implementations intentionally REUSE the engine's operator modules
+(operators/mentions.py, dedup.py, textstats.py, graph.py) — these queries
+are the driver-facing demonstration of the same code paths the KG pipeline
+runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from thesaurus_based_ner_spark.functions.text import TOKEN_RE
+from thesaurus_based_ner_spark.operators import dedup, graph, textstats
+from thesaurus_based_ner_spark.operators.mentions import (
+    detect_mentions_df,
+    merge_adjacent_df,
+    resolve_overlaps_df,
+    thesaurus_with_case,
+    tokenize_df,
+)
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# DECIMAL-exact money sum → DOUBLE (order-independent across engines)
+def dsum(col, alias):
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations — TPC-H Q1 shape (A1-A5 family)
+# ---------------------------------------------------------------------------
+
+@q(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins — multiway star join with broadcast dims (J1/J3)
+# ---------------------------------------------------------------------------
+
+@q(
+    "region_revenue",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def region_revenue(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W2 — top-k per group via window (reference top-20 entities per label,
+# db_pedia.py:200-224, done as ONE window pass instead of 23M point queries)
+# ---------------------------------------------------------------------------
+
+@q(
+    "top_customers_per_nation",
+    oracle="""
+    WITH tot AS (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, c.c_custkey
+    )
+    SELECT * FROM (
+      SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             CAST(c_custkey AS BIGINT) AS custkey, spend,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                  ORDER BY spend DESC, c_custkey ASC) AS BIGINT) AS rank
+      FROM tot) WHERE rank <= 3
+    """,
+)
+def top_customers_per_nation(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    tot = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "c_custkey")
+        .agg(dsum("o_totalprice", "spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        tot.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nationkey"),
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            "spend",
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W4 — weighted argmax with tie-skip (term2cat.py:135-163 semantics)
+# ---------------------------------------------------------------------------
+
+@q(
+    "argmax_part_per_order",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_orderkey, l_partkey, l_quantity,
+             RANK() OVER (PARTITION BY l_orderkey ORDER BY l_quantity DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY l_orderkey, l_quantity) AS ties
+      FROM lineitem
+    )
+    SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+           CAST(l_partkey AS BIGINT) AS partkey,
+           ROUND(l_quantity, 6) AS qty
+    FROM ranked WHERE rk = 1 AND ties = 1
+    """,
+)
+def argmax_part_per_order(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc())
+    wt = Window.partitionBy("l_orderkey", "l_quantity")
+    return (
+        li.withColumn("rk", F.rank().over(w))
+        .withColumn("ties", F.count("*").over(wt))
+        .filter((F.col("rk") == 1) & (F.col("ties") == 1))
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("orderkey"),
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.round("l_quantity", 6).alias("qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A6 — duplicated-lowercase detection (string_match.py:133-140)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dup_lowercase_names",
+    oracle="""
+    SELECT LOWER(p_name) AS name_lower,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+    FROM part GROUP BY LOWER(p_name) HAVING COUNT(*) >= 2
+    """,
+)
+def dup_lowercase_names(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    return (
+        p.groupBy(F.lower("p_name").alias("name_lower"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 F4 — anomaly-suffix detection (term2cat.py:64-78: a term whose proper
+# suffix is itself a term). Terms = part names ∪ their head nouns.
+# ---------------------------------------------------------------------------
+
+@q(
+    "suffix_anomaly",
+    oracle="""
+    WITH terms AS (
+      SELECT DISTINCT p_name AS term FROM part
+      UNION
+      SELECT DISTINCT split_part(p_name, ' ', 2) AS term FROM part
+      WHERE split_part(p_name, ' ', 2) <> ''
+    )
+    SELECT a.term AS long_term, b.term AS suffix_term
+    FROM terms a JOIN terms b
+      ON a.term <> b.term AND suffix(a.term, ' ' || b.term)
+    """,
+)
+def suffix_anomaly(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("term")).distinct()
+    heads = (
+        p.select(F.element_at(F.split("p_name", " "), 2).alias("term"))
+        .filter(F.col("term").isNotNull() & (F.col("term") != ""))
+        .distinct()
+    )
+    terms = names.union(heads).distinct()
+    a = terms.alias("a")
+    b = terms.alias("b")
+    return a.join(
+        F.broadcast(b),
+        (F.col("a.term") != F.col("b.term"))
+        & F.col("a.term").endswith(F.concat(F.lit(" "), F.col("b.term"))),
+    ).select(F.col("a.term").alias("long_term"), F.col("b.term").alias("suffix_term"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 J6 — interval-overlap self-join (evaluator.py:656-712 lenient overlap)
+# ---------------------------------------------------------------------------
+
+@q(
+    "order_window_overlaps",
+    oracle="""
+    SELECT CAST(a.o_custkey AS BIGINT) AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.o_orderdate <= b.o_orderdate + INTERVAL 30 DAY
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+    GROUP BY a.o_custkey
+    """,
+)
+def order_window_overlaps(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (
+                F.col("a.o_orderdate")
+                <= F.col("b.o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            )
+            & (
+                F.col("b.o_orderdate")
+                <= F.col("a.o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .groupBy(F.col("a.o_custkey").cast("bigint").alias("custkey"))
+        .agg(F.count("*").alias("n_overlapping_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 G1/G3 — ancestor closure by iterative self-join vs recursive CTE
+# ---------------------------------------------------------------------------
+
+@q(
+    "ancestor_closure",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT 'N:' || n_name AS child, 'R:' || r_name AS parent
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      UNION ALL
+      SELECT 'S:' || s_name, 'N:' || n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    closure(node, ancestor) AS (
+      SELECT child, parent FROM edges
+      UNION
+      SELECT c.node, e.parent FROM closure c JOIN edges e ON c.ancestor = e.child
+    ),
+    selfrows AS (
+      SELECT child AS node FROM edges UNION SELECT parent FROM edges
+    )
+    SELECT node, ancestor FROM closure
+    UNION
+    SELECT node, node FROM selfrows
+    """,
+)
+def ancestor_closure_q(spark, sf_dir):
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    s = T(spark, sf_dir, "supplier")
+    e1 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.concat(F.lit("N:"), "n_name").alias("child"),
+        F.concat(F.lit("R:"), "r_name").alias("parent"),
+    )
+    e2 = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.concat(F.lit("S:"), "s_name").alias("child"),
+        F.concat(F.lit("N:"), "n_name").alias("parent"),
+    )
+    return graph.ancestor_closure(e1.unionByName(e2), include_self=True)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 G5 — redirect-chain fixpoint (db_pedia.py:55-71)
+# ---------------------------------------------------------------------------
+
+@q(
+    "redirect_fixpoint",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 'P' || p_partkey AS src, 'P' || (p_partkey // 10) AS dst
+      FROM part WHERE p_partkey >= 10
+    ),
+    chase(src, root) AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT c.src, e.dst FROM chase c JOIN edges e ON c.root = e.src
+    )
+    SELECT src, root FROM chase
+    WHERE root NOT IN (SELECT src FROM edges)
+    """,
+)
+def redirect_fixpoint(spark, sf_dir):
+    p = T(spark, sf_dir, "part")
+    edges = p.filter("p_partkey >= 10").select(
+        F.concat(F.lit("P"), "p_partkey").alias("src"),
+        F.concat(F.lit("P"), (F.col("p_partkey") / 10).cast("int")).alias("dst"),
+    ).distinct()
+    return graph.resolve_chains(edges)
+
+
+# ---------------------------------------------------------------------------
+# §2.9-analog sessionization (gap > 30 min) — lag + cumsum islands (W5 shape)
+# ---------------------------------------------------------------------------
+
+@q(
+    "sessionize_events",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    flagged = ev.withColumn(
+        "new_s",
+        F.when(
+            lag_ts.isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(lag_ts) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return per_session.groupBy(F.col("user_id").cast("bigint").alias("user_id")).agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 W1 — overlap-group resolution, relational form, on synthetic spans
+# (exercises operators/mentions.resolve_overlaps_df against SQL directly)
+# ---------------------------------------------------------------------------
+
+_SPANS_SQL = """
+      SELECT CAST(l_orderkey AS BIGINT) AS doc,
+             CAST(l_partkey % 40 AS BIGINT) AS m_start,
+             CAST(l_partkey % 40 + 1 + l_suppkey % 5 AS BIGINT) AS m_end,
+             CAST(MIN(l_linenumber) AS BIGINT) AS label
+      FROM lineitem
+      GROUP BY 1, 2, 3
+"""
+
+
+@q(
+    "overlap_group_resolution",
+    oracle=f"""
+    WITH spans AS ({_SPANS_SQL}),
+    w1a AS (
+      SELECT *, MAX(m_end) OVER (PARTITION BY doc ORDER BY m_start, m_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM spans
+    ),
+    w1b AS (
+      SELECT *, SUM(CASE WHEN m_start >= COALESCE(pme, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc ORDER BY m_start, m_end
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM w1a
+    ),
+    kept AS (
+      SELECT doc, m_start, m_end, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc, grp
+                    ORDER BY m_end DESC, m_start ASC) AS rn
+        FROM w1b) WHERE rn = 1
+    )
+    SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(m_end - m_start) AS BIGINT) AS covered
+    FROM kept GROUP BY doc
+    """,
+)
+def overlap_group_resolution(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    spans = (
+        li.groupBy(
+            F.col("l_orderkey").cast("bigint").alias("doc"),
+            (F.col("l_partkey") % 40).cast("bigint").alias("m_start"),
+            (F.col("l_partkey") % 40 + 1 + F.col("l_suppkey") % 5)
+            .cast("bigint")
+            .alias("m_end"),
+        )
+        .agg(F.min("l_linenumber").cast("bigint").alias("label"))
+    )
+    kept = resolve_overlaps_df(spans, ["doc"])
+    return kept.groupBy("doc").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("m_end") - F.col("m_start")).alias("covered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 A8 — set-PRF metrics (evaluator.py:78-88)
+# ---------------------------------------------------------------------------
+
+@q(
+    "set_prf_click_purchase",
+    oracle="""
+    WITH pred AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    gold AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    i AS (SELECT COUNT(*) AS n FROM pred WHERE user_id IN (SELECT user_id FROM gold))
+    SELECT CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
+           CAST((SELECT COUNT(*) FROM gold) AS BIGINT) AS n_gold,
+           CAST((SELECT n FROM i) AS BIGINT) AS n_inter,
+           ROUND((SELECT n FROM i) * 1.0 / (SELECT COUNT(*) FROM pred), 6) AS precision,
+           ROUND((SELECT n FROM i) * 1.0 / (SELECT COUNT(*) FROM gold), 6) AS recall
+    """,
+)
+def set_prf_click_purchase(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    pred = ev.filter("event_type = 'click'").select("user_id").distinct()
+    gold = ev.filter("event_type = 'purchase'").select("user_id").distinct()
+    inter = pred.join(gold, "user_id", "left_semi")
+    return (
+        pred.agg(F.count("*").alias("n_pred"))
+        .crossJoin(gold.agg(F.count("*").alias("n_gold")))
+        .crossJoin(inter.agg(F.count("*").alias("n_inter")))
+        .select(
+            "n_pred",
+            "n_gold",
+            "n_inter",
+            F.round(F.col("n_inter") * 1.0 / F.col("n_pred"), 6).alias("precision"),
+            F.round(F.col("n_inter") * 1.0 / F.col("n_gold"), 6).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §4 skew — salted repartition join must equal the plain join
+# ---------------------------------------------------------------------------
+
+@q(
+    "salted_segment_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_segment_revenue(spark, sf_dir):
+    """Skew-handling pattern: salt the fact side, replicate the dim side ×8.
+
+    Result is provably identical to the unsalted join (the oracle); at
+    cluster scale this bounds any single reducer's share of a hot custkey.
+    """
+    n_salt = 8
+    o = T(spark, sf_dir, "orders").withColumn(
+        "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
+    )
+    c = (
+        T(spark, sf_dir, "customer")
+        .withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        .withColumn("__salt", F.col("__salt").cast("bigint"))
+    )
+    return (
+        o.join(c, (o.o_custkey == c.c_custkey) & (o["__salt"] == c["__salt"]))
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-shape windowed aggregation (batch form; streaming variant in
+# streaming/ingest.py runs the same plan via Trigger.AvailableNow)
+# ---------------------------------------------------------------------------
+
+@q(
+    "hourly_event_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_event_rollup(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+# ===========================================================================
+# Document-table queries: the mention core + training-data-pipeline ops
+# ===========================================================================
+
+# terms drawn from the documents table's vocabulary; 1- and 2-token terms,
+# nesting ("join" ⊂ "hash join") to exercise overlap resolution.
+DOC_THESAURUS: list[tuple[str, str]] = [
+    ("hash join", "Operation"),
+    ("merge join", "Operation"),
+    ("sort merge", "Operation"),
+    ("table scan", "Operation"),
+    ("column scan", "Operation"),
+    ("row group", "Storage"),
+    ("key value", "Storage"),
+    ("data stream", "Storage"),
+    ("spark", "System"),
+    ("window", "Clause"),
+    ("join", "Operation"),
+    ("scan", "Operation"),
+    ("group", "Clause"),
+    ("vector", "Storage"),
+    ("filter", "Operation"),
+]
+
+_TH_VALUES = ", ".join(
+    f"('{t}', {len(t.split())}, '{lab}')" for t, lab in DOC_THESAURUS
+)
+
+# duckdb-side token regex: same pattern, \s is literal in standard SQL strings
+_SQL_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+_MENTION_CTE = f"""
+    WITH th(term, n, label) AS (VALUES {_TH_VALUES}),
+    docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM docs),
+    matches AS (
+      SELECT d.doc_id,
+             CAST(d.p - 1 AS BIGINT) AS m_start,
+             CAST(d.p - 1 + t.n AS BIGINT) AS m_end,
+             array_to_string(d.toks[d.p : d.p + t.n - 1], ' ') AS surface,
+             t.label
+      FROM pos d JOIN th t
+        ON d.p + t.n - 1 <= len(d.toks)
+       AND array_to_string(d.toks[d.p : d.p + t.n - 1], ' ') = t.term
+    ),
+    w1a AS (
+      SELECT *, MAX(m_end) OVER (PARTITION BY doc_id ORDER BY m_start, m_end
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      FROM matches
+    ),
+    w1b AS (
+      SELECT *, SUM(CASE WHEN m_start >= COALESCE(pme, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY m_start, m_end
+                     ROWS UNBOUNDED PRECEDING) AS grp
+      FROM w1a
+    ),
+    w1 AS (
+      SELECT doc_id, m_start, m_end, surface, label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, grp
+                    ORDER BY m_end DESC, m_start ASC) AS rn
+        FROM w1b) WHERE rn = 1
+    ),
+    w5lag AS (
+      SELECT *, LAG(m_end) OVER (PARTITION BY doc_id ORDER BY m_start) AS prev_end
+      FROM w1
+    ),
+    w5a AS (
+      SELECT *, SUM(CASE WHEN m_start > COALESCE(prev_end, -1) THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY m_start
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM w5lag
+    ),
+    mentions AS (
+      SELECT doc_id, MIN(m_start) AS m_start, MAX(m_end) AS m_end,
+             arg_max(label, m_end) AS label,
+             string_agg(surface, ' ' ORDER BY m_start) AS surface
+      FROM w5a GROUP BY doc_id, isl
+    )
+"""
+
+
+def _doc_mentions(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    snts = tokenize_df(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "tokens"
+    )
+    th = thesaurus_with_case(spark, dict(DOC_THESAURUS))
+    return detect_mentions_df(snts, th, ["doc_id"])
+
+
+@q(
+    "mention_spans",
+    oracle=_MENTION_CTE
+    + "SELECT doc_id, m_start, m_end, surface, label FROM mentions",
+)
+def mention_spans(spark, sf_dir):
+    return _doc_mentions(spark, sf_dir).select(
+        "doc_id", "m_start", "m_end", "surface", "label"
+    )
+
+
+@q(
+    "mention_label_counts",
+    oracle=_MENTION_CTE
+    + """
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM mentions GROUP BY label
+    """,
+)
+def mention_label_counts(spark, sf_dir):
+    return (
+        _doc_mentions(spark, sf_dir)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_mentions"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+@q(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_md5, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text").select(
+        "text_md5",
+        "n_docs",
+        F.col("keep_id").cast("bigint").alias("keep_id"),
+    )
+
+
+_JACCARD_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i : i + 2], ' ')
+                   for i in range(1, len(toks) - 1)] END)) AS shingle
+      FROM docs
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+           ROUND(i * 1.0 / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = a_id
+    JOIN sz sb ON sb.doc_id = b_id
+    WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.5
+"""
+
+
+@q("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        "jaccard",
+    )
+
+
+@q("dedup_minhash_lsh", oracle=_JACCARD_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidates + exact verify. bands=32, rows=1 → recall at
+    J≥0.5 is 1-(1-J)^32 ≥ 1-2e-10, so the exact-Jaccard oracle IS the
+    expected output. At petabyte scale tune bands/rows down for cost; here
+    the contract is exactness."""
+    d = T(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, n_hashes=32, bands=32, threshold=0.5
+    ).select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        "jaccard",
+    )
+
+
+def _simhash_sql_bits() -> str:
+    # bit j of simhash32 = majority vote of md5-hex-nibble-j high bit over
+    # distinct 3-token shingles; mirrors operators/dedup.simhash32 exactly.
+    votes = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(sh, t -> substr(md5(t), {j + 1}, 1) "
+        f"IN ('8','9','a','b','c','d','e','f'))) >= len(sh) "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(32)
+    )
+    return votes
+
+
+@q(
+    "dedup_simhash",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    shingled AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+             ELSE [array_to_string(toks[i : i + 2], ' ')
+                   for i in range(1, len(toks) - 1)] END) AS sh
+      FROM docs
+    ),
+    h AS (SELECT doc_id, CAST({_simhash_sql_bits()} AS BIGINT) AS sh32 FROM shingled)
+    SELECT CAST(a.doc_id AS BIGINT) AS a_id, CAST(b.doc_id AS BIGINT) AS b_id,
+           CAST(bit_count(xor(a.sh32, b.sh32)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh32, b.sh32)) <= 3
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, k=3).select(
+        F.col("a_id").cast("bigint").alias("a_id"),
+        F.col("b_id").cast("bigint").alias("b_id"),
+        "hamming",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force cosine top-k over embeddings
+# ---------------------------------------------------------------------------
+
+@q(
+    "cosine_topk",
+    oracle="""
+    WITH qv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 8),
+    cv AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    sims AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.e, c.e), 6) AS cos
+      FROM qv q JOIN cv c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM sims) WHERE rank <= 5
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = e.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nq = F.aggregate("qe", F.lit(0.0), lambda acc, x: acc + x * x)
+    nc = F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+    sims = (
+        F.broadcast(qv)
+        .join(e, qv.query_id != e.vec_id)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(dot / F.sqrt(nq * nc), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language-ID, quality, token counts, fingerprint
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = {
+    lang: ", ".join(f"'{w}'" for w in words)
+    for lang, words in textstats.STOPWORDS.items()
+}
+
+_LANG_HITS = ",\n      ".join(
+    f"CAST(len(list_filter(list_distinct(list_transform(toks, t -> lower(t))), "
+    f"t -> t IN ({_STOP_SQL[lang]}))) AS BIGINT) AS h_{lang}"
+    for lang in textstats.STOPWORDS
+)
+
+
+@q(
+    "lang_id",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    hits AS (SELECT doc_id, {_LANG_HITS} FROM docs)
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                ELSE 'es' END AS pred_lang,
+           greatest(h_en, h_de, h_fr, h_es) AS stopword_hits
+    FROM hits
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return textstats.lang_id(d, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"), "pred_lang", "stopword_hits"
+    )
+
+
+@q(
+    "quality_score",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    feat AS (
+      SELECT CAST(doc_id AS BIGINT) AS id,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_filter(toks, t -> regexp_matches(t, '^[^A-Za-z0-9_]$')))
+               * 1.0 / greatest(len(toks), 1) AS pr,
+             len(list_filter(toks, t -> lower(t) IN ({_STOP_SQL['en']})))
+               * 1.0 / greatest(len(toks), 1) AS sr
+      FROM docs
+    )
+    SELECT id, n_chars, n_tokens,
+           ROUND(pr, 6) AS punct_ratio, ROUND(sr, 6) AS stopword_ratio,
+           ROUND(0.4 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - pr)
+                 + 0.3 * least(sr * 5.0, 1.0), 6) AS quality
+    FROM feat
+    """,
+)
+def quality_score_q(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return textstats.quality_score(d, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"),
+        "n_chars",
+        "n_tokens",
+        "punct_ratio",
+        "stopword_ratio",
+        "quality",
+    )
+
+
+@q(
+    "token_counts",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_SQL_TOKEN_RE}')) AS BIGINT) AS re_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{_SQL_TOKEN_RE}'))) AS BIGINT)
+             AS distinct_tokens
+    FROM documents
+    """,
+)
+def token_counts_q(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return textstats.token_counts(d, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"),
+        "ws_tokens",
+        "re_tokens",
+        "distinct_tokens",
+    )
+
+
+@q(
+    "fingerprint",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text,
+             list_distinct(list_transform(
+               regexp_extract_all(text, '{_SQL_TOKEN_RE}'), t -> lower(t))) AS toks
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS id, md5(text) AS text_md5,
+           list_aggregate(list_transform(toks, t -> md5(t)), 'min') AS min_tok_md5,
+           list_aggregate(list_transform(toks, t -> md5(t)), 'max') AS max_tok_md5
+    FROM docs
+    """,
+)
+def fingerprint_q(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return textstats.fingerprint(d, "doc_id", "text").select(
+        F.col("id").cast("bigint").alias("id"),
+        "text_md5",
+        "min_tok_md5",
+        "max_tok_md5",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Entity-linking shape: candidate top-k per surface (A2+W2+J9 relational
+# analog: per part-type, top-3 parts by shipped quantity)
+# ---------------------------------------------------------------------------
+
+@q(
+    "link_candidates_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT p.p_type AS surface, l.l_partkey AS entity,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS anchor_count
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, l.l_partkey
+    )
+    SELECT surface, CAST(entity AS BIGINT) AS entity, anchor_count, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY surface
+                 ORDER BY anchor_count DESC, entity ASC) AS BIGINT) AS rank
+      FROM counts) WHERE rank <= 3
+    """,
+)
+def link_candidates_topk(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    counts = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("surface"), F.col("l_partkey").alias("entity"))
+        .agg(dsum("l_quantity", "anchor_count"))
+    )
+    w = Window.partitionBy("surface").orderBy(
+        F.col("anchor_count").desc(), F.col("entity").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("surface", F.col("entity").cast("bigint").alias("entity"),
+                "anchor_count", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization: connected components (G6) vs recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+@q(
+    "canonical_components",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 'P' || l_partkey AS a, 'S' || l_suppkey AS b
+      FROM lineitem WHERE l_quantity > 49
+    ),
+    sym AS (SELECT a AS u, b AS v FROM edges UNION SELECT b, a FROM edges),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.lbl FROM reach r JOIN sym s ON r.u = s.u
+    )
+    SELECT u AS node, MIN(lbl) AS component FROM reach GROUP BY u
+    """,
+)
+def canonical_components(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    edges = (
+        li.filter("l_quantity > 49")
+        .select(
+            F.concat(F.lit("P"), "l_partkey").alias("a"),
+            F.concat(F.lit("S"), "l_suppkey").alias("b"),
+        )
+        .distinct()
+    )
+    return graph.connected_components(edges)
