@@ -90,18 +90,24 @@ def _ngram_candidates(df: DataFrame, id_cols: list[str], lens: list[int]) -> Dat
 def match_candidates(
     cand: DataFrame, thesaurus: DataFrame, surface_col: str = "surface"
 ) -> DataFrame:
-    """Broadcast-join candidates against the case-split thesaurus."""
-    cs = thesaurus.filter("cs").select(
-        F.col("joined").alias("__t"), F.col("label")
+    """ONE broadcast-join against the case-split thesaurus.
+
+    Key = lowercased surface; case-sensitive terms add a post-join exact
+    check. Correct because the case split forces any lowercase collision to
+    be case-sensitive (string_match.py:91-140), so a ci term's lowered form
+    is unique and a cs term can only be reached via its own lowered form.
+    Single join = the corpus/candidate subtree is scanned once (vs a union
+    of two joins scanning it twice).
+    """
+    th = thesaurus.select(
+        F.col("joined_lower").alias("__t"), F.col("joined").alias("__j"),
+        F.col("cs").alias("__cs"), F.col("label"),
     )
-    ci = thesaurus.filter("NOT cs").select(
-        F.col("joined_lower").alias("__t"), F.col("label")
+    return (
+        cand.join(F.broadcast(th), F.lower(cand[surface_col]) == th["__t"], "inner")
+        .filter(~F.col("__cs") | (F.col(surface_col) == F.col("__j")))
+        .drop("__t", "__j", "__cs")
     )
-    m_cs = cand.join(F.broadcast(cs), cand[surface_col] == cs["__t"], "inner").drop("__t")
-    m_ci = cand.join(
-        F.broadcast(ci), F.lower(cand[surface_col]) == ci["__t"], "inner"
-    ).drop("__t")
-    return m_cs.unionByName(m_ci)
 
 
 def resolve_overlaps_df(matches: DataFrame, id_cols: list[str]) -> DataFrame:

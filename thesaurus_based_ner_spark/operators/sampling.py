@@ -1,0 +1,70 @@
+"""Sampling / shuffling operators (SURVEY.md §2.9 P1-P6).
+
+Reference: O-span undersampling (data_translator.py:64-88), label-balanced
+undersampling (:205-284), seeded shuffle + take-N (gold_dataset.py:301-306),
+90/10 split (:400-415), random sharding (utils.py:554-563). All seeded and
+reproducible; Spark-side they are sampleBy / randomSplit / rand(seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def undersample_label(
+    df: DataFrame, label_col: str, target_label: str, ratio: float, seed: int
+) -> DataFrame:
+    """Keep all rows except target_label, which is sampled at `ratio`
+    (P1: O-span undersampling)."""
+    fractions = {target_label: ratio}
+    kept_target = df.sampleBy(label_col, fractions, seed)
+    others = df.filter(F.col(label_col) != target_label)
+    return others.unionByName(kept_target.filter(F.col(label_col) == target_label))
+
+
+def balance_labels(df: DataFrame, label_col: str, seed: int) -> DataFrame:
+    """Downsample every label to the minority-label count in expectation
+    (P2: label balancing via per-label fractions from an A7 min agg)."""
+    counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
+    m = min(counts.values())
+    fractions = {k: min(1.0, m / v) for k, v in counts.items()}
+    return df.sampleBy(label_col, fractions, seed)
+
+
+def seeded_take(df: DataFrame, n: int, seed: int, order_cols: list[str]) -> DataFrame:
+    """Deterministic pseudo-random take-N (P3): stable hash order, not
+    rand() (rand is partition-dependent; xxhash64 of key cols is not)."""
+    return (
+        df.withColumn("__r", F.xxhash64(*order_cols, F.lit(seed)))
+        .orderBy("__r")
+        .limit(n)
+        .drop("__r")
+    )
+
+
+def seeded_split(
+    df: DataFrame, weights: list[float], seed: int, key_cols: list[str]
+) -> list[DataFrame]:
+    """Deterministic train/validation split (P4) by key hash — unlike
+    randomSplit, assignment is a pure function of the row key, so it is
+    stable under repartitioning and resumable reruns."""
+    total = sum(weights)
+    bounds = []
+    acc = 0.0
+    for w in weights:
+        acc += w / total
+        bounds.append(acc)
+    bucket = (F.pmod(F.xxhash64(*key_cols, F.lit(seed)), F.lit(1_000_000)) / 1_000_000.0)
+    out = []
+    lo = 0.0
+    for hi in bounds:
+        out.append(df.filter((bucket >= lo) & (bucket < hi)))
+        lo = hi
+    return out
+
+
+def shard(df: DataFrame, k: int, seed: int, key_cols: list[str]) -> DataFrame:
+    """Assign a deterministic shard id 0..k-1 (P6)."""
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(*key_cols, F.lit(seed)), F.lit(k)).cast("int")
+    )

@@ -1,0 +1,285 @@
+"""Thesaurus construction (SURVEY.md §3.1 entry point A) as Spark jobs.
+
+Reference dataflow (/root/reference/src/dataset/term2cat/
+dictionary_form_term2cats.py, /root/reference/src/kb_loader/db_pedia.py):
+
+  UMLS branch:   MRCONSO scan → term→CUIs groupBy → CUI→TUIs join →
+                 ancestor expansion → per-term intersect/union of cat sets
+  anchor branch: anchor_text(entity, surface) → per-(surface, entity)
+                 counts → top-20 per surface → join entity→cats →
+                 weighted cat scores per surface
+  finalize:      inflection expansion → target-cat filter → weighted argmax
+                 with tie-skip → nc- prefixing → anomaly-suffix removal
+
+Spark-native rewrites of the reference's anti-patterns (SURVEY §4):
+- per-label looped SQL (db_pedia.py:207,267) → single window / groupBy pass
+- SQLite KV stores → DataFrames, broadcast at use time
+- Python dict accumulation → collect_set/aggregate
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+
+# --- S1-S4 scans -----------------------------------------------------------------
+
+def read_pipe_table(
+    spark: SparkSession, path: str, columns: list[str]
+) -> DataFrame:
+    """UMLS RRF-style pipe-delimited scan with explicit schema (S1-S3).
+
+    Reference reads these line-by-line in Python
+    (dictionary_form_term2cats.py:104-146); here it's a parallel CSV scan
+    with column pruning pushed to the reader.
+    """
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    return spark.read.csv(path, sep="|", schema=schema)
+
+
+def read_ttl_predicate(
+    spark: SparkSession, path: str, predicate: str
+) -> DataFrame:
+    """N-triples scan filtered to one predicate via regexp (S4).
+
+    Returns (subj, obj). Mirrors the reference's per-predicate regex line
+    scans (db_pedia.py:24-54, dictionary_form_term2cats.py:183-239) as a
+    distributed text scan + vectorized regexp_extract — the filter and both
+    extracts run inside whole-stage codegen.
+    """
+    pat = rf"^<([^>]+)>\s+<{predicate}>\s+[<\"]([^>\"]*)[>\"].*$"
+    lines = spark.read.text(path)
+    return (
+        lines.filter(F.col("value").rlike(f"<{predicate}>"))
+        .select(
+            F.regexp_extract("value", pat, 1).alias("subj"),
+            F.regexp_extract("value", pat, 2).alias("obj"),
+        )
+        .filter((F.col("subj") != "") & (F.col("obj") != ""))
+    )
+
+
+# --- UMLS-style branch -------------------------------------------------------------
+
+def term2cats_from_concepts(
+    conso: DataFrame,
+    sty: DataFrame,
+    closure: DataFrame,
+    mode: str = "intersection",
+) -> DataFrame:
+    """(term, cats array, weights array) from concept + semantic-type tables.
+
+    conso: (cui, lang, src, term) — filtered like reference F1 upstream.
+    sty:   (cui, tui)
+    closure: (node, ancestor) ancestor closure of the type hierarchy (G1).
+
+    Per term: expand each CUI's TUIs by the closure (G3), then combine
+    across CUIs by set intersection (dictionary_form_term2cats.py:159-176,
+    `remain_common_sense` semantics) or union; weight = 1.0 (UMLS path).
+    """
+    cui_cats = (
+        sty.join(
+            F.broadcast(closure.withColumnRenamed("node", "tui")), "tui"
+        )
+        .select("cui", F.col("ancestor").alias("cat"))
+        .distinct()
+    )
+    term_cui = conso.select("term", "cui").distinct()
+    n_cuis = term_cui.groupBy("term").agg(F.countDistinct("cui").alias("n_cuis"))
+    term_cat_counts = (
+        term_cui.join(cui_cats, "cui")
+        .groupBy("term", "cat")
+        .agg(F.countDistinct("cui").alias("n_with_cat"))
+    )
+    if mode == "intersection":
+        kept = term_cat_counts.join(n_cuis, "term").filter(
+            F.col("n_with_cat") == F.col("n_cuis")
+        )
+    else:
+        kept = term_cat_counts.join(n_cuis, "term")
+    return (
+        kept.groupBy("term")
+        .agg(F.array_sort(F.collect_set("cat")).alias("cats"))
+        .withColumn(
+            "weights", F.transform("cats", lambda _: F.lit(1.0))
+        )
+    )
+
+
+# --- anchor-text branch ------------------------------------------------------------
+
+def anchor_term2cats(
+    anchor: DataFrame,
+    entity2cat: DataFrame,
+    top_k: int = 20,
+) -> DataFrame:
+    """(term, cats, weights) from anchor counts (db_pedia.py:200-283).
+
+    One window pass for the top-k candidates per surface (vs the
+    reference's per-label point queries), then weighted cat aggregation:
+    weight(cat | surface) = Σ anchor_count over top-k entities with cat.
+    """
+    counts = anchor.groupBy(
+        F.col("surface").alias("term"), "entity"
+    ).agg(F.count("*").alias("anchor_count"))
+    w = Window.partitionBy("term").orderBy(
+        F.col("anchor_count").desc(), F.col("entity").asc()
+    )
+    topk = counts.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    )
+    weighted = (
+        topk.join(entity2cat, "entity")
+        .groupBy("term", "cat")
+        .agg(F.sum("anchor_count").cast("double").alias("weight"))
+    )
+    packed = (
+        weighted.withColumn(
+            "cw", F.struct(F.col("weight"), F.col("cat"))
+        )
+        .groupBy("term")
+        .agg(F.reverse(F.array_sort(F.collect_list("cw"))).alias("cws"))
+    )
+    return packed.select(
+        "term",
+        F.transform("cws", lambda s: s["cat"]).alias("cats"),
+        F.transform("cws", lambda s: s["weight"]).alias("weights"),
+    )
+
+
+# --- inflection expansion (X5) ------------------------------------------------------
+
+_IRREGULAR = {
+    "person": "people", "child": "children", "man": "men", "woman": "women",
+    "foot": "feet", "tooth": "teeth", "mouse": "mice", "goose": "geese",
+}
+_IRREGULAR_INV = {v: k for k, v in _IRREGULAR.items()}
+_UNINFLECTED = {"series", "species", "sheep", "fish", "deer", "data"}
+
+
+def pluralize(word: str) -> str:
+    """Deterministic rule-based pluralizer (reference utils.py:52-102 uses
+    equivalent hand rules; we re-derive standard English rules)."""
+    lw = word.lower()
+    if lw in _UNINFLECTED or not word or not word[-1].isalpha():
+        return word
+    if lw in _IRREGULAR:
+        out = _IRREGULAR[lw]
+    elif lw.endswith(("s", "x", "z", "ch", "sh")):
+        out = word + "es"
+    elif lw.endswith("y") and len(lw) > 1 and lw[-2] not in "aeiou":
+        out = word[:-1] + "ies"
+    elif lw.endswith("fe"):
+        out = word[:-2] + "ves"
+    elif lw.endswith("f") and lw not in ("chef", "roof", "belief"):
+        out = word[:-1] + "ves"
+    else:
+        out = word + "s"
+    return out
+
+
+def singularize(word: str) -> str:
+    lw = word.lower()
+    if lw in _UNINFLECTED or not word:
+        return word
+    if lw in _IRREGULAR_INV:
+        return _IRREGULAR_INV[lw]
+    if lw.endswith("ies") and len(lw) > 3:
+        return word[:-3] + "y"
+    if lw.endswith("ves") and len(lw) > 3:
+        return word[:-3] + "f"
+    if lw.endswith(("ses", "xes", "zes", "ches", "shes")):
+        return word[:-2]
+    if lw.endswith("s") and not lw.endswith("ss"):
+        return word[:-1]
+    return word
+
+
+def inflect_term(term: str) -> list[str]:
+    """Inflect the LAST token of a (possibly multi-word) term both ways."""
+    toks = term.split(" ")
+    head, last = toks[:-1], toks[-1]
+    out = []
+    for cand in (pluralize(last), singularize(last)):
+        if cand != last:
+            out.append(" ".join(head + [cand]))
+    return out
+
+
+def inflect_terms(term2cats: DataFrame) -> DataFrame:
+    """Union inflected variants, skipping collisions with existing terms
+    (cli/preprocess/inflect_terms_of_term2cats.py:19-40: new SQLite dict =
+    original ∪ inflections that don't collide)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def variants(terms):
+        return terms.map(inflect_term)
+
+    exploded = (
+        term2cats.withColumn("__v", F.explode(variants("term")))
+        .drop("term")
+        .withColumnRenamed("__v", "term")
+        .select(*term2cats.columns)
+    )
+    # drop variants colliding with an existing term (keep the original)
+    fresh = exploded.join(
+        term2cats.select("term"), "term", "left_anti"
+    ).dropDuplicates(["term"])
+    return term2cats.unionByName(fresh)
+
+
+# --- finalize: weighted argmax + nc prefix + anomaly suffix (W4/F3/F4) -------------
+
+def term2cat_from_term2cats(
+    term2cats: DataFrame,
+    positive_cats: list[str],
+    negative_cats: list[str] | None = None,
+) -> DataFrame:
+    """(term, cat) single-label dict: weighted argmax with tie-skip, with
+    negative cats prefixed nc- (term2cat.py:91-176).
+    """
+    negative_cats = negative_cats or []
+    flat = term2cats.select(
+        "term",
+        F.explode(F.arrays_zip("cats", "weights")).alias("cw"),
+    ).select(
+        "term",
+        F.col("cw.cats").alias("cat"),
+        F.col("cw.weights").alias("weight"),
+    )
+    labeled = flat.withColumn(
+        "out_cat",
+        F.when(F.col("cat").isin(positive_cats), F.col("cat")).when(
+            F.col("cat").isin(negative_cats), F.concat(F.lit("nc-"), F.col("cat"))
+        ),
+    ).filter(F.col("out_cat").isNotNull())
+    w = Window.partitionBy("term")
+    best = (
+        labeled.withColumn("__max", F.max("weight").over(w))
+        .filter(F.col("weight") == F.col("__max"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("__ties"),
+            F.min("out_cat").alias("cat"),
+        )
+        .filter(F.col("__ties") == 1)  # tie-skip (term2cat.py:135-163)
+        .select("term", "cat")
+    )
+    return best
+
+
+def remove_anomaly_suffix_terms(term2cat: DataFrame) -> DataFrame:
+    """Drop terms having a proper suffix (at a token boundary) that is
+    itself a term with a DIFFERENT cat (term2cat.py:64-78,172-175:
+    'migration' kept, 'cell migration' dropped only if cats differ).
+    """
+    a = term2cat.alias("a")
+    b = term2cat.alias("b")
+    bad = a.join(
+        b,
+        (F.col("a.term") != F.col("b.term"))
+        & F.col("a.term").endswith(F.concat(F.lit(" "), F.col("b.term")))
+        & (F.col("a.cat") != F.col("b.cat")),
+        "left_semi",
+    )
+    return term2cat.join(bad, ["term", "cat"], "left_anti")

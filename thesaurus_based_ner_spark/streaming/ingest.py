@@ -1,0 +1,75 @@
+"""Incremental crawl ingestion via Structured Streaming (SURVEY.md §2.10).
+
+The reference is pure batch; the north_rule requires resumable batch. This
+module adds the Spark-native extension: `Trigger.AvailableNow` over a
+growing webtext directory — each run drains exactly the new files, runs the
+mention pipeline per micro-batch via foreachBatch, and appends to the
+mention table with checkpoint-tracked progress (exactly-once per file).
+
+Also provides a watermarked windowed rollup (late-data-safe counters) as
+the streaming counterpart of plans/queries.hourly_event_rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from thesaurus_based_ner_spark.operators.mentions import (
+    detect_mentions_df,
+    thesaurus_with_case,
+    tokenize_df,
+)
+from thesaurus_based_ner_spark.sources.webtext import WEBTEXT_SCHEMA
+from thesaurus_based_ner_spark.functions.text import SENT_SPLIT_RE
+
+
+def ingest_available_now(
+    spark: SparkSession,
+    webtext_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    term2label: dict[str, str],
+) -> None:
+    """Drain all currently-available webtext parquet files through the
+    mention pipeline, append results, remember progress in the checkpoint.
+    Re-running after new files arrive processes only the delta.
+    """
+    th = thesaurus_with_case(spark, term2label)
+    stream = (
+        spark.readStream.schema(WEBTEXT_SCHEMA).parquet(webtext_dir)
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        snts = batch_df.filter(F.col("lang") == "en").select(
+            "url",
+            F.posexplode(F.split("text", SENT_SPLIT_RE)).alias("snt_id", "snt"),
+        )
+        toks = tokenize_df(snts.filter(F.length("snt") > 0), "snt").drop("snt")
+        mentions = detect_mentions_df(toks, th, ["url", "snt_id"])
+        mentions.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts_stream(
+    spark: SparkSession, events_dir: str, schema, gap: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window counts; memory-sink driven to completion
+    by the caller (tests use processAllAvailable)."""
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", gap), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+        )
+    )
