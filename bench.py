@@ -97,12 +97,14 @@ def run_pipeline_bench(spark, n_docs: int) -> dict:
         )
         n_triples = triples.count()
         wall = time.time() - t0
+        stage_walls = {m["stage"]: m["wall_s"] for m in catalog.lineage()}
         return {
             "docs": n_docs,
             "triples": n_triples,
             "wall_s": round(wall, 3),
             "triples_per_sec": round(n_triples / wall, 1),
             "docs_per_sec": round(n_docs / wall, 1),
+            "stage_walls": stage_walls,
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,81 @@
+"""Chunker+suffix-typer semantics and ANN recall."""
+
+from pyspark.sql import functions as F
+
+from thesaurus_based_ner_spark.operators import simsearch
+from thesaurus_based_ner_spark.operators.chunking import (
+    rule_chunks_df,
+    type_chunks_suffix,
+)
+from thesaurus_based_ner_spark.operators.mentions import (
+    thesaurus_with_case,
+    tokenize_df,
+)
+
+
+def test_rule_chunks(spark):
+    snts = tokenize_df(
+        spark.createDataFrame(
+            [(1, "big table scan in the fast hash join")],
+            "doc_id long, text string",
+        ),
+        "text",
+    ).select("doc_id", "tokens")
+    chunks = {
+        (r.m_start, r.m_end, r.surface)
+        for r in rule_chunks_df(snts, ["doc_id"]).collect()
+    }
+    # "in" and "the" are stopwords → two runs
+    assert (0, 3, "big table scan") in chunks
+    assert (5, 8, "fast hash join") in chunks
+
+
+def test_chunk_window_split(spark):
+    text = " ".join(["tok"] * 14)  # one 14-token run → windows 6+6+2
+    snts = tokenize_df(
+        spark.createDataFrame([(1, text)], "doc_id long, text string"), "text"
+    ).select("doc_id", "tokens")
+    spans = sorted(
+        (r.m_start, r.m_end) for r in rule_chunks_df(snts, ["doc_id"]).collect()
+    )
+    assert spans == [(0, 6), (6, 12), (12, 14)]
+
+
+def test_suffix_typer_longest_wins(spark):
+    th = thesaurus_with_case(
+        spark, {"join": "Op", "hash join": "HashOp", "scan": "Op"}
+    )
+    chunks = spark.createDataFrame(
+        [
+            (1, 0, 3, "fast hash join"),
+            (1, 4, 5, "scanner"),   # no word-boundary suffix → dropped
+            (2, 0, 1, "join"),
+        ],
+        "doc_id long, m_start long, m_end long, surface string",
+    )
+    out = {
+        (r.doc_id, r.m_start, r.label)
+        for r in type_chunks_suffix(chunks, th).collect()
+    }
+    assert out == {(1, 0, "HashOp"), (2, 0, "Op")}
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    qv = e.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.brute_force_topk(e, qv, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.lsh_topk(e, qv, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+    assert len(approx) == len(exact)

@@ -1,0 +1,136 @@
+"""Similarity search over embedding columns (driver mandate).
+
+- brute_force_topk: exact cosine top-k (the baseline; oracle-checked in
+  plans/queries.cosine_topk).
+- lsh_topk: the scale path — random-hyperplane LSH buckets (deterministic,
+  seed-derived hyperplanes via per-dimension hash weights), candidates from
+  multi-probe (own bucket + 1-bit flips), exact re-rank. Approximate:
+  recall is asserted ≥ threshold in tests, not exactness.
+
+At 100 TB, brute force is O(Q·N); the LSH path shuffles once on bucket id
+and touches only candidate buckets per query — the standard IVF-ish shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _cos(a: str, b: str):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+    return dot / F.sqrt(na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """queries (query_id, qe) × embeddings (vec_id, e) → top-k by cosine."""
+    sims = F.broadcast(queries).join(
+        embeddings, queries["query_id"] != embeddings["vec_id"]
+    )
+    scored = sims.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos("qe", "e"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplane_weights(dim: int, n_bits: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 (no RNG state)."""
+    planes = []
+    for b in range(n_bits):
+        w = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{b}:{d}".encode()).digest()
+            w.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+        planes.append(w)
+    return planes
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    bits = []
+    for j, w in enumerate(planes):
+        dot = None
+        for d, wd in enumerate(w):
+            term = F.element_at(F.col(vec_col), d + 1) * F.lit(wd)
+            dot = term if dot is None else dot + term
+        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int | None = None,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 2,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: multi-table hyperplane buckets + 1-bit
+    multi-probe + exact re-rank of candidates.
+
+    n_bits defaults adaptively to ~log2(N/64): each bucket holds ~64
+    vectors, so candidate cost per query stays bounded while recall stays
+    high; multiple independent tables union their candidates (standard LSH
+    recall amplification).
+    """
+    if n_bits is None:
+        n = embeddings.count()
+        n_bits = max(2, min(16, (max(n, 1) // 64).bit_length()))
+    emb_b = None
+    q_b = None
+    for t in range(n_tables):
+        planes = _hyperplane_weights(dim, n_bits, seed + 1000 * t)
+        eb = embeddings.withColumn("bucket", _bucket_expr("e", planes)).withColumn(
+            "table", F.lit(t)
+        )
+        qb = queries.withColumn("bucket", _bucket_expr("qe", planes)).withColumn(
+            "table", F.lit(t)
+        )
+        emb_b = eb if emb_b is None else emb_b.unionByName(eb)
+        q_b = qb if q_b is None else q_b.unionByName(qb)
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("int")
+                for j in range(n_bits)
+            ],
+        )
+        q_b = q_b.withColumn("bucket", F.explode(probes))
+    cands = F.broadcast(q_b).join(
+        emb_b,
+        (q_b["bucket"] == emb_b["bucket"])
+        & (q_b["table"] == emb_b["table"])
+        & (q_b["query_id"] != emb_b["vec_id"]),
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos("qe", "e"), 6).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

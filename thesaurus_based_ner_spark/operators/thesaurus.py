@@ -106,6 +106,24 @@ def term2cats_from_concepts(
     )
 
 
+def merge_redirected_entity_cats(
+    entity2cat: DataFrame, redirects: DataFrame
+) -> DataFrame:
+    """Union each redirect source's cats onto its chain root (J2/G5,
+    db_pedia.py:37-71: redirected entities contribute their cats to the
+    target). Output (entity, cat) over root entities only."""
+    from thesaurus_based_ner_spark.operators.graph import resolve_chains
+
+    roots = resolve_chains(redirects, "src", "dst")
+    moved = (
+        entity2cat.join(roots, entity2cat["entity"] == roots["src"])
+        .select(F.col("root").alias("entity"), "cat")
+    )
+    srcs = redirects.select(F.col("src").alias("entity"))
+    kept = entity2cat.join(srcs, "entity", "left_anti")
+    return kept.unionByName(moved).distinct()
+
+
 # --- anchor-text branch ------------------------------------------------------------
 
 def anchor_term2cats(

@@ -48,6 +48,21 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Raise scan parallelism for CPU-heavy downstream map work.
+
+    A small single-file parquet scans as ONE task (maxPartitionBytes ≫
+    file size), serializing expensive per-row expressions (n-gram
+    explosion, 32-bit simhash votes). Repartition round-robin only when the
+    source has fewer partitions than cores — at real scale (many files)
+    this is a no-op, so no gratuitous shuffle is added.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # DECIMAL-exact money sum → DOUBLE (order-independent across engines)
 def dsum(col, alias):
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
@@ -672,7 +687,7 @@ _MENTION_CTE = f"""
 
 
 def _doc_mentions(spark, sf_dir):
-    docs = T(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    docs = spread(T(spark, sf_dir, "documents").filter(F.col("lang") == "en"))
     snts = tokenize_df(docs.select("doc_id", "text"), "text").select(
         "doc_id", "tokens"
     )
@@ -761,7 +776,7 @@ _JACCARD_SQL = f"""
 
 @q("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).select(
         F.col("a_id").cast("bigint").alias("a_id"),
         F.col("b_id").cast("bigint").alias("b_id"),
@@ -775,7 +790,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     J≥0.5 is 1-(1-J)^32 ≥ 1-2e-10, so the exact-Jaccard oracle IS the
     expected output. At petabyte scale tune bands/rows down for cost; here
     the contract is exactness."""
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", k=3, n_hashes=32, bands=32, threshold=0.5
     ).select(
@@ -819,7 +834,7 @@ def _simhash_sql_bits() -> str:
     """,
 )
 def dedup_simhash(spark, sf_dir):
-    d = T(spark, sf_dir, "documents")
+    d = spread(T(spark, sf_dir, "documents"))
     return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=3, k=3).select(
         F.col("a_id").cast("bigint").alias("a_id"),
         F.col("b_id").cast("bigint").alias("b_id"),
@@ -1071,3 +1086,92 @@ def canonical_components(spark, sf_dir):
         .distinct()
     )
     return graph.connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# Chunker + suffix-typer path (U2/U3: the reference's TwoStage default) and
+# the LSH ANN scale path.
+# ---------------------------------------------------------------------------
+
+from thesaurus_based_ner_spark.operators.chunking import (  # noqa: E402
+    CHUNK_STOP,
+    rule_chunks_df,
+    type_chunks_suffix,
+)
+from thesaurus_based_ner_spark.operators import simsearch  # noqa: E402
+
+_STOP_LIST_SQL = ", ".join(f"'{w}'" for w in CHUNK_STOP)
+
+
+@q(
+    "chunked_mentions",
+    oracle=f"""
+    WITH th(term, n, label) AS (VALUES {_TH_VALUES}),
+    docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM docs
+    ),
+    marked AS (
+      SELECT doc_id, toks, p, toks[p] AS tok,
+             regexp_matches(toks[p], '^[A-Za-z0-9_]+$')
+               AND lower(toks[p]) NOT IN ({_STOP_LIST_SQL}) AS is_content
+      FROM pos
+    ),
+    lagged AS (
+      SELECT *, COALESCE(LAG(is_content) OVER (PARTITION BY doc_id ORDER BY p),
+                          false) AS prev_content
+      FROM marked
+    ),
+    grouped AS (
+      SELECT *, SUM(CASE WHEN (NOT prev_content) OR (NOT is_content)
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged
+    ),
+    runs AS (
+      SELECT doc_id, grp, MIN(p) AS run_first, MAX(p) AS run_last,
+             any_value(toks) AS toks
+      FROM grouped WHERE is_content GROUP BY doc_id, grp
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(s - 1 AS BIGINT) AS m_start,
+             CAST(least(s + 5, run_last) AS BIGINT) AS m_end,
+             array_to_string(toks[s : least(s + 5, run_last)], ' ') AS surface
+      FROM runs, unnest(range(run_first, run_last + 1, 6)) AS t(s)
+    ),
+    typed AS (
+      SELECT c.doc_id, c.m_start, c.m_end, c.surface, t.label, t.n,
+             ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.m_start, c.m_end
+                                ORDER BY t.n DESC, t.label) AS rk
+      FROM chunks c JOIN th t
+        ON lower(c.surface) = t.term
+        OR suffix(lower(c.surface), ' ' || t.term)
+    )
+    SELECT doc_id, m_start, m_end, surface, label FROM typed WHERE rk = 1
+    """,
+)
+def chunked_mentions(spark, sf_dir):
+    docs = spread(T(spark, sf_dir, "documents").filter(F.col("lang") == "en"))
+    snts = tokenize_df(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "tokens"
+    )
+    chunks = rule_chunks_df(snts, ["doc_id"], max_len=6)
+    th = thesaurus_with_case(spark, dict(DOC_THESAURUS))
+    return type_chunks_suffix(chunks, th).select(
+        "doc_id", "m_start", "m_end", "surface", "label"
+    )
+
+
+@q("ann_lsh_topk")  # approximate — no SQL oracle; rows-only check +
+def ann_lsh_topk(spark, sf_dir):  # recall assertion in tests/test_simsearch.py
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = e.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return simsearch.lsh_topk(e, qv, k=5)
