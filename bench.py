@@ -82,7 +82,11 @@ def run_pipeline_bench(spark, n_docs: int) -> dict:
     root = tempfile.mkdtemp(prefix="bench_catalog_")
     try:
         catalog = Catalog(spark, root)
-        webtext = synth_webtext(spark, n_docs)
+        # materialize the synthetic corpus UNTIMED: generating webtext is
+        # test scaffolding, not pipeline work — the pipeline's input is a
+        # stored table in any real deployment.
+        synth_webtext(spark, n_docs).write.parquet(f"{root}/webtext_input")
+        webtext = spark.read.parquet(f"{root}/webtext_input")
         anchor = synth_anchor_text(spark, 5000)
         redirects = synth_redirects(spark)
         t0 = time.time()

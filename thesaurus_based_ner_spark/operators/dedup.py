@@ -165,8 +165,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(df, id_col, text_col, k, threshold)
-    return cands.join(exact, ["a_id", "b_id"], "inner")
+    # exact verification on CANDIDATE PAIRS ONLY: join each side's distinct
+    # shingle array (≤ doc length) and intersect — O(|cands|·len), no
+    # all-pairs shingle equi-join. Jaccard formula identical to
+    # ngram_jaccard_pairs so the exact query remains the oracle.
+    sets = (
+        df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
+        .select("id", _shingle_col(k).alias("shset"))
+    )
+    sa = sets.select(F.col("id").alias("a_id"), F.col("shset").alias("sa"))
+    sb = sets.select(F.col("id").alias("b_id"), F.col("shset").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cands.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
 
 
 def _shingle_col(k: int) -> F.Column:
@@ -192,13 +209,14 @@ def simhash32() -> F.Column:
     features (not unigrams) keep the signature discriminative even over a
     small vocabulary.
     """
+    high = list("89abcdef")
     bits = [
         F.when(
             F.lit(2)
             * F.size(
                 F.filter(
-                    F.col("__sh"),
-                    lambda t: F.substring(F.md5(t), j + 1, 1).isin(*list("89abcdef")),
+                    F.col("__md5s"),
+                    lambda h: F.substring(h, j + 1, 1).isin(*high),
                 )
             )
             >= F.col("__n"),
@@ -213,9 +231,12 @@ def simhash32() -> F.Column:
 
 
 def simhash_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    # md5 computed ONCE per shingle (__md5s); the 32 bit-votes then only
+    # slice hex chars — 32× fewer hash evaluations than hashing per bit.
     return (
         df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
         .withColumn("__sh", _shingle_col(k))
+        .withColumn("__md5s", F.transform("__sh", F.md5))
         .withColumn("__n", F.size("__sh"))
         .select("id", simhash32().alias("sh"))
     )

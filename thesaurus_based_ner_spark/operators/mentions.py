@@ -64,25 +64,42 @@ def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
     )
 
 
-def _ngram_candidates(df: DataFrame, id_cols: list[str], lens: list[int]) -> DataFrame:
+_NULL_CAND = "CAST(NULL AS struct<m_start:BIGINT,m_end:BIGINT,surface:STRING>)"
+
+
+def _ngram_candidates(
+    df: DataFrame,
+    id_cols: list[str],
+    lens: list[int],
+    first_tokens: list[str] | None = None,
+) -> DataFrame:
     """All (start, end, surface) n-grams for the given lengths.
 
-    Single explode of a higher-order-function expression — the tokens array
-    is never duplicated across candidate rows before the explode.
+    One explode of a higher-order-function expression. Surfaces are built
+    with direct 0-based element indexing (no per-candidate array slice
+    copies), and — when `first_tokens` (the distinct lowered first tokens
+    of the thesaurus) is small enough to inline — candidates whose first
+    token cannot start any term are pruned BEFORE string construction,
+    which removes the string-build cost for the overwhelming majority of
+    positions.
     """
-    lens_sql = ", ".join(str(n) for n in sorted(lens))
-    cand = F.expr(
-        f"""
-        flatten(transform(tokens, (_t, pos) ->
-          filter(
-            transform(array({lens_sql}), n ->
-              IF(pos + n <= size(tokens),
+    prune = ""
+    if first_tokens is not None and 0 < len(first_tokens) <= 10_000:
+        quoted = ", ".join("'" + t.replace("'", "\\'") + "'" for t in sorted(first_tokens))
+        prune = f" AND lower(tokens[pos]) IN ({quoted})"
+    per_len = []
+    for n in sorted(lens):
+        elems = ", ".join(f"tokens[pos + {i}]" for i in range(n))
+        per_len.append(
+            f"""transform(tokens, (_t, pos) ->
+              IF(pos + {n} <= size(tokens){prune},
                  struct(CAST(pos AS BIGINT) AS m_start,
-                        CAST(pos + n AS BIGINT) AS m_end,
-                        concat_ws(' ', slice(tokens, pos + 1, n)) AS surface),
-                 CAST(NULL AS struct<m_start:BIGINT,m_end:BIGINT,surface:STRING>))),
-            x -> x IS NOT NULL)))
-        """
+                        CAST(pos + {n} AS BIGINT) AS m_end,
+                        concat_ws(' ', {elems}) AS surface),
+                 {_NULL_CAND}))"""
+        )
+    cand = F.expr(
+        "filter(flatten(array(" + ", ".join(per_len) + ")), x -> x IS NOT NULL)"
     )
     return df.select(*id_cols, F.explode(cand).alias("c")).select(*id_cols, "c.*")
 
@@ -178,9 +195,13 @@ def detect_mentions_df(
     merge_adjacent: bool = True,
 ) -> DataFrame:
     """Pure-DataFrame mention detection (strategy 1). df needs tokens_col."""
-    lens = [r[0] for r in thesaurus.select("n_tokens").distinct().collect()]
+    meta = thesaurus.select(
+        "n_tokens", F.split("joined_lower", " ").getItem(0).alias("ft")
+    ).collect()
+    lens = sorted({r["n_tokens"] for r in meta})
+    first_tokens = sorted({r["ft"] for r in meta})
     base = df.withColumnRenamed(tokens_col, "tokens") if tokens_col != "tokens" else df
-    cand = _ngram_candidates(base, id_cols, lens)
+    cand = _ngram_candidates(base, id_cols, lens, first_tokens)
     matches = match_candidates(cand, thesaurus)
     resolved = resolve_overlaps_df(matches, id_cols)
     return merge_adjacent_df(resolved, id_cols) if merge_adjacent else resolved
