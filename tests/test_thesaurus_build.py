@@ -121,3 +121,45 @@ def test_anomaly_suffix_removal(spark):
     )
     kept = {r.term for r in th.remove_anomaly_suffix_terms(t2c).collect()}
     assert kept == {"migration", "amino acid", "acid"}
+
+
+def test_disambiguation_bfs(spark):
+    from thesaurus_based_ner_spark.operators.thesaurus import expand_disambiguation
+
+    t2e = spark.createDataFrame(
+        [("mercury", "Mercury_(disamb)"), ("gold", "Gold")],
+        "term string, entity string",
+    )
+    disamb = spark.createDataFrame(
+        [
+            ("Mercury_(disamb)", "Mercury_(planet)"),
+            ("Mercury_(disamb)", "Mercury_(element)"),
+            ("Mercury_(disamb)", "Mercury_(more)"),
+            ("Mercury_(more)", "Mercury_(god)"),  # chained disamb page
+        ],
+        "src string, dst string",
+    )
+    out = {(r.term, r.entity) for r in expand_disambiguation(t2e, disamb).collect()}
+    assert out == {
+        ("mercury", "Mercury_(planet)"),
+        ("mercury", "Mercury_(element)"),
+        ("mercury", "Mercury_(god)"),
+        ("gold", "Gold"),
+    }
+
+
+def test_redirect_merged_entity_cats(spark):
+    from thesaurus_based_ner_spark.operators.thesaurus import (
+        merge_redirected_entity_cats,
+    )
+
+    e2c = spark.createDataFrame(
+        [("US", "Country"), ("USA", "Nation"), ("NY", "City")],
+        "entity string, cat string",
+    )
+    redirects = spark.createDataFrame(
+        [("US", "USA"), ("America", "US")], "src string, dst string"
+    )
+    out = {(r.entity, r.cat) for r in merge_redirected_entity_cats(e2c, redirects).collect()}
+    # US's cats move to chain root USA; NY untouched
+    assert out == {("USA", "Country"), ("USA", "Nation"), ("NY", "City")}

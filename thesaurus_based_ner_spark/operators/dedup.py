@@ -23,6 +23,8 @@ touches candidate pairs.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, functions as F
 
 from thesaurus_based_ner_spark.functions.text import TOKEN_RE
@@ -97,19 +99,40 @@ def ngram_jaccard_pairs(
     )
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_coeffs(n_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a_i, b_i), a_i ≠ 0."""
+    out = []
+    for i in range(n_hashes):
+        d = hashlib.md5(f"mh:{seed}:{i}".encode()).digest()
+        a = 1 + int.from_bytes(d[:4], "big") % (_MERSENNE31 - 1)
+        b = int.from_bytes(d[4:8], "big") % _MERSENNE31
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, n_hashes: int = 32
 ) -> DataFrame:
     """(id, sig array<bigint>) MinHash signatures, fully JVM-side.
 
-    h_i(s) = xxhash64(shingle, seed=i); min per doc per seed. Computed as
-    n_hashes aggregate expressions over the exploded shingle table — one
-    shuffle, vectorized, no Python.
+    ONE xxhash64 per shingle, then n_hashes universal-hash derivations
+    h_i(x) = (a_i·h + b_i) mod 2^31-1 — multiply-adds inside whole-stage
+    codegen instead of n_hashes full string hashes; min per doc per i as
+    n_hashes aggregate expressions over the exploded shingle table (one
+    shuffle, no Python). Values stay < 2^62 so ANSI overflow never trips.
     """
-    sh = shingles_df(df, id_col, text_col, k)
+    sh = shingles_df(df, id_col, text_col, k).withColumn(
+        "__h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    )
+    coeffs = _minhash_coeffs(n_hashes)
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(n_hashes)
+        F.min(
+            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
     ]
     sig = sh.groupBy("id").agg(*aggs)
     return sig.select(
@@ -123,7 +146,7 @@ def minhash_lsh_pairs(
     text_col: str,
     k: int = 3,
     n_hashes: int = 32,
-    bands: int = 8,
+    bands: int = 16,
     threshold: float = 0.6,
 ) -> DataFrame:
     """MinHash → LSH band buckets → candidates → exact-Jaccard verify.
@@ -132,6 +155,10 @@ def minhash_lsh_pairs(
     recall at `threshold` is high enough (bands/rows tuned for it); the
     exact query is the oracle, and the verification filter guarantees no
     false positives — only (statistically unlikely) false negatives.
+    bands=16 × rows=2 keeps buckets selective (pairs must agree on TWO
+    minhashes) while P(miss) ≤ (1-J²)^16 ≈ 8e-8 at J=0.8 — and the whole
+    stack is deterministic, so a recall verified at a given dataset holds
+    forever on that dataset.
     """
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)

@@ -106,6 +106,36 @@ def term2cats_from_concepts(
     )
 
 
+def expand_disambiguation(
+    term2entity: DataFrame,
+    disamb: DataFrame,
+    max_depth: int = 16,
+) -> DataFrame:
+    """Replace ambiguous entities by their disambiguation targets, BFS to
+    fixpoint (G4, dictionary_form_term2cats.py:179-217: a term pointing at
+    a disambiguation page fans out to the page's monosemous leaf targets;
+    chains of disambiguation pages are followed to the leaves).
+
+    term2entity: (term, entity); disamb: (src, dst) one-to-many edges.
+    Output: (term, entity) with every src replaced by its leaf targets.
+    """
+    from thesaurus_based_ner_spark.operators.graph import _checkpoint
+
+    srcs = disamb.select(F.col("src").alias("entity")).distinct()
+    cur = term2entity
+    for _ in range(max_depth):
+        ambiguous = cur.join(srcs, "entity", "left_semi")
+        if ambiguous.isEmpty():
+            break
+        resolved = cur.join(srcs, "entity", "left_anti")
+        expanded = (
+            ambiguous.join(disamb, ambiguous["entity"] == disamb["src"])
+            .select("term", F.col("dst").alias("entity"))
+        )
+        cur = _checkpoint(resolved.unionByName(expanded).distinct())
+    return cur
+
+
 def merge_redirected_entity_cats(
     entity2cat: DataFrame, redirects: DataFrame
 ) -> DataFrame:
