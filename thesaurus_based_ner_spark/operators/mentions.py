@@ -45,26 +45,33 @@ def tokenize_df(df: DataFrame, text_col: str = "text", out: str = "tokens") -> D
     )
 
 
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
     """Thesaurus dim: (term, label, joined, joined_lower, cs).
 
     `joined` is the space-joined token form (what n-gram surfaces look
     like); `cs` is the reference case-sensitivity split
-    (string_match.py:91-140).
+    (string_match.py:91-140). Built via SQL VALUES — a local-list
+    createDataFrame would round-trip through python parallelize workers on
+    every call; VALUES stays JVM-only.
     """
     cs_terms, _ = split_case_sensitivity(list(term2label))
     rows = []
-    for term, label in term2label.items():
-        joined = " ".join(tokenize(term))
+    for term, label in sorted(term2label.items()):
+        toks = tokenize(term)
+        joined = " ".join(toks)
         rows.append(
-            (term, label, joined, joined.lower(), term in cs_terms, len(tokenize(term)))
+            f"({_sql_str(term)}, {_sql_str(label)}, {_sql_str(joined)}, "
+            f"{_sql_str(joined.lower())}, {str(term in cs_terms).lower()}, {len(toks)})"
         )
-    return spark.createDataFrame(
-        rows, "term string, label string, joined string, joined_lower string, cs boolean, n_tokens int"
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(rows)
+        + " AS t(term, label, joined, joined_lower, cs, n_tokens)"
     )
-
-
-_NULL_CAND = "CAST(NULL AS struct<m_start:BIGINT,m_end:BIGINT,surface:STRING>)"
 
 
 def _ngram_candidates(
@@ -75,33 +82,36 @@ def _ngram_candidates(
 ) -> DataFrame:
     """All (start, end, surface) n-grams for the given lengths.
 
-    One explode of a higher-order-function expression. Surfaces are built
-    with direct 0-based element indexing (no per-candidate array slice
-    copies), and — when `first_tokens` (the distinct lowered first tokens
-    of the thesaurus) is small enough to inline — candidates whose first
-    token cannot start any term are pruned BEFORE string construction,
-    which removes the string-build cost for the overwhelming majority of
-    positions.
+    Whole-stage-codegen-friendly formulation: posexplode + an early
+    first-token `isin` prune + direct array element access — no
+    higher-order-function lambdas (those run interpreted and dominated the
+    match stage ~5× in measurement), no per-candidate array copies.
+    Candidates whose first token cannot start any thesaurus term are
+    dropped BEFORE any surface string is built; at a 23M-surface scale
+    replace the inlined IN list with a broadcast Bloom filter.
     """
-    prune = ""
+    base = df.select(*id_cols, "tokens", F.posexplode("tokens").alias("pos", "tok"))
     if first_tokens is not None and 0 < len(first_tokens) <= 10_000:
-        quoted = ", ".join("'" + t.replace("'", "\\'") + "'" for t in sorted(first_tokens))
-        prune = f" AND lower(tokens[pos]) IN ({quoted})"
-    per_len = []
+        base = base.where(F.lower("tok").isin(*first_tokens))
+    structs = []
     for n in sorted(lens):
-        elems = ", ".join(f"tokens[pos + {i}]" for i in range(n))
-        per_len.append(
-            f"""transform(tokens, (_t, pos) ->
-              IF(pos + {n} <= size(tokens){prune},
-                 struct(CAST(pos AS BIGINT) AS m_start,
-                        CAST(pos + {n} AS BIGINT) AS m_end,
-                        concat_ws(' ', {elems}) AS surface),
-                 {_NULL_CAND}))"""
+        elems = [F.col("tokens").getItem(F.col("pos") + F.lit(i)) for i in range(n)]
+        valid = (F.col("pos") + n) <= F.size("tokens")
+        structs.append(
+            F.when(
+                valid,
+                F.struct(
+                    F.col("pos").cast("bigint").alias("m_start"),
+                    (F.col("pos") + n).cast("bigint").alias("m_end"),
+                    F.concat_ws(" ", *elems).alias("surface"),
+                ),
+            )
         )
-    cand = F.expr(
-        "filter(flatten(array(" + ", ".join(per_len) + ")), x -> x IS NOT NULL)"
+    return (
+        base.select(*id_cols, F.explode(F.array(*structs)).alias("c"))
+        .where(F.col("c").isNotNull())
+        .select(*id_cols, "c.*")
     )
-    return df.select(*id_cols, F.explode(cand).alias("c")).select(*id_cols, "c.*")
 
 
 def match_candidates(
