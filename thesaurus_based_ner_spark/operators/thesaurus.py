@@ -269,10 +269,18 @@ def inflect_terms(term2cats: DataFrame) -> DataFrame:
         .withColumnRenamed("__v", "term")
         .select(*term2cats.columns)
     )
-    # drop variants colliding with an existing term (keep the original)
-    fresh = exploded.join(
-        term2cats.select("term"), "term", "left_anti"
-    ).dropDuplicates(["term"])
+    # drop variants colliding with an existing term (keep the original);
+    # when two source terms inflect to the SAME variant, keep the winner
+    # deterministically (min by the full remaining row) — dropDuplicates
+    # alone picks whichever partition arrives first.
+    others = [c for c in term2cats.columns if c != "term"]
+    fresh = (
+        exploded.join(term2cats.select("term"), "term", "left_anti")
+        .groupBy("term")
+        .agg(F.min(F.struct(*others)).alias("__row"))
+        .select("term", "__row.*")
+        .select(*term2cats.columns)
+    )
     return term2cats.unionByName(fresh)
 
 

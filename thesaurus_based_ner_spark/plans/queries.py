@@ -58,7 +58,14 @@ def spread(df: DataFrame) -> DataFrame:
     this is a no-op, so no gratuitous shuffle is added.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # inputFiles() reads the file index only — no RDD conversion / job.
+    # Small scans (fewer files than cores, each under one split) get
+    # round-robined; many-file scans at real scale pass through untouched.
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = target
+    if n_files < target:
         return df.repartition(target)
     return df
 
@@ -648,7 +655,7 @@ _MENTION_CTE = f"""
              t.label
       FROM pos d JOIN th t
         ON d.p + t.n - 1 <= len(d.toks)
-       AND array_to_string(d.toks[d.p : d.p + t.n - 1], ' ') = t.term
+       AND lower(array_to_string(d.toks[d.p : d.p + t.n - 1], ' ')) = t.term
     ),
     w1a AS (
       SELECT *, MAX(m_end) OVER (PARTITION BY doc_id ORDER BY m_start, m_end
@@ -664,7 +671,7 @@ _MENTION_CTE = f"""
     w1 AS (
       SELECT doc_id, m_start, m_end, surface, label FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id, grp
-                    ORDER BY m_end DESC, m_start ASC) AS rn
+                    ORDER BY m_end DESC, m_start ASC, label ASC) AS rn
         FROM w1b) WHERE rn = 1
     ),
     w5lag AS (
@@ -803,7 +810,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 def _simhash_sql_bits() -> str:
     # bit j of simhash32 = majority vote of md5-hex-nibble-j high bit over
-    # distinct 3-token shingles; mirrors operators/dedup.simhash32 exactly.
+    # distinct 3-token shingles; mirrors operators/dedup.simhash_table exactly.
     votes = " + ".join(
         f"(CASE WHEN 2 * len(list_filter(sh, t -> substr(md5(t), {j + 1}, 1) "
         f"IN ('8','9','a','b','c','d','e','f'))) >= len(sh) "

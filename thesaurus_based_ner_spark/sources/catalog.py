@@ -33,10 +33,19 @@ class Catalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         if use_iceberg is None:
-            use_iceberg = "spark_catalog" in spark.conf.get(
+            # autodetect: the session catalog impl is an Iceberg class when
+            # the Iceberg runtime jars + conf are present
+            use_iceberg = "iceberg" in spark.conf.get(
                 "spark.sql.catalog.spark_catalog", ""
-            )
+            ).lower()
         self.use_iceberg = use_iceberg
+        # Iceberg namespace derived from the catalog root dir name
+        self.namespace = os.path.basename(root.rstrip("/")) or "kg"
+        if self.use_iceberg:
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.namespace}")
+
+    def _table(self, name: str) -> str:
+        return f"{self.namespace}.{name}"
 
     # -- paths -------------------------------------------------------------
     def path(self, name: str) -> str:
@@ -51,6 +60,8 @@ class Catalog:
             return False
         if fingerprint is not None and meta.get("fingerprint") != fingerprint:
             return False
+        if self.use_iceberg:
+            return self.spark.catalog.tableExists(self._table(name))
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
     def _read_meta(self, name: str) -> dict | None:
@@ -62,6 +73,8 @@ class Catalog:
 
     # -- io ------------------------------------------------------------------
     def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.table(self._table(name))
         return self.spark.read.parquet(self.path(name))
 
     def write(
@@ -79,10 +92,19 @@ class Catalog:
         come from the parquet footers — no extra job.
         """
         t0 = time.time()
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(name))
+        if self.use_iceberg:
+            # Iceberg backend: namespaced table, snapshot = lineage anchor.
+            from pyspark.sql import functions as F
+
+            wt = df.writeTo(self._table(name))
+            if partition_by:
+                wt = wt.partitionedBy(*[F.col(c) for c in partition_by])
+            wt.createOrReplace()
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self.path(name))
         elapsed = time.time() - t0
         meta = {
             "table": name,
@@ -90,12 +112,27 @@ class Catalog:
             "fingerprint": fingerprint,
             "wall_s": round(elapsed, 3),
             "written_at": time.time(),
-            "partitions": self._partition_counts(name),
+            "partitions": (
+                self._iceberg_file_counts(name)
+                if self.use_iceberg
+                else self._partition_counts(name)
+            ),
         }
         meta["rows_out"] = sum(p["rows"] for p in meta["partitions"])
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f, indent=1)
         return self.read(name)
+
+    def _iceberg_file_counts(self, name: str) -> list[dict]:
+        """Per-file lineage from the Iceberg `.files` metadata table."""
+        try:
+            rows = self.spark.sql(
+                f"SELECT file_path AS file, record_count AS rows "
+                f"FROM {self._table(name)}.files"
+            ).collect()
+            return [{"file": r["file"], "rows": r["rows"]} for r in rows]
+        except Exception:
+            return []
 
     def _partition_counts(self, name: str) -> list[dict]:
         import pyarrow.parquet as pq
@@ -138,6 +175,8 @@ class Catalog:
         return out
 
     def drop(self, name: str) -> None:
+        if self.use_iceberg:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._table(name)}")
         shutil.rmtree(self.path(name), ignore_errors=True)
         p = self._meta_path(name)
         if os.path.exists(p):

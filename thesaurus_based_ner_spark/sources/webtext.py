@@ -142,7 +142,7 @@ def synth_webtext(spark: SparkSession, n_docs: int, partitions: int = 0) -> Data
 
 def synth_thesaurus(spark: SparkSession) -> DataFrame:
     """term2cat dim table (term string, cat string)."""
-    return spark.createDataFrame(THESAURUS, "term string, cat string")
+    return _values_df(spark, THESAURUS, "term, cat")
 
 
 ONTOLOGY_EDGES: list[tuple[str, str]] = [
@@ -158,14 +158,32 @@ ONTOLOGY_EDGES: list[tuple[str, str]] = [
 
 
 def synth_ontology_edges(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(ONTOLOGY_EDGES, "child string, parent string")
+    return _values_df(spark, ONTOLOGY_EDGES, "child, parent")
+
+
+def _values_df(spark: SparkSession, rows, cols: str) -> DataFrame:
+    """Tiny dim from driver-computed rows via SQL VALUES.
+
+    createDataFrame on local rows round-trips through python parallelize
+    workers on every materialization (a fork per partition — pathological
+    on this sandbox, see SCALE.md); VALUES stays entirely JVM-side.
+    """
+    def lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return spark.sql(f"SELECT * FROM VALUES {body} AS t({cols})")
 
 
 def synth_anchor_text(spark: SparkSession, n_rows: int = 5000) -> DataFrame:
     """(entity, surface) anchor-text pairs with head-entity skew.
 
     Mirrors the reference's anchor_text SQLite table
-    (/root/reference/src/kb_loader/db_pedia.py:98-133). Deterministic.
+    (/root/reference/src/kb_loader/db_pedia.py:98-133). Deterministic: rows
+    are a pure function of the counter, computed on the driver (dim-sized)
+    and shipped as one VALUES literal — no python workers involved.
     """
     entities = [f"ent_{t.replace(' ', '_')}" for t, _ in THESAURUS]
     surfaces = [t for t, _ in THESAURUS]
@@ -176,7 +194,7 @@ def synth_anchor_text(spark: SparkSession, n_rows: int = 5000) -> DataFrame:
         ent_idx = 0 if k % 10 < 4 else k % len(entities)
         surf_idx = (ent_idx + (0 if k % 7 else k % 3)) % len(surfaces)
         rows.append((entities[ent_idx], surfaces[surf_idx]))
-    return spark.createDataFrame(rows, "entity string, surface string")
+    return _values_df(spark, rows, "entity, surface")
 
 
 def synth_redirects(spark: SparkSession) -> DataFrame:
@@ -188,7 +206,7 @@ def synth_redirects(spark: SparkSession) -> DataFrame:
         ("ent_NYC", "ent_New_York_City"),
         ("ent_UN", "ent_United_Nations"),
     ]
-    return spark.createDataFrame(rows, "src string, dst string")
+    return _values_df(spark, rows, "src, dst")
 
 
 def term_lengths(tokenizer) -> list[int]:
