@@ -60,6 +60,7 @@ HEADLINE = [
     "ancestor_closure",
     "chunked_mentions",
     "ann_lsh_topk",
+    "dedup_embedding",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))

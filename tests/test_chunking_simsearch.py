@@ -72,9 +72,13 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
         (r.query_id, r.neighbor_id)
         for r in simsearch.brute_force_topk(e, qv, k=5).collect()
     }
+    # n_bits is an explicit knob now (no driver-side count inside the
+    # operator): size buckets to ~64 vectors for this corpus.
+    n = e.count()
+    n_bits = max(2, min(16, (max(n, 1) // 64).bit_length()))
     approx = {
         (r.query_id, r.neighbor_id)
-        for r in simsearch.lsh_topk(e, qv, k=5).collect()
+        for r in simsearch.lsh_topk(e, qv, k=5, n_bits=n_bits).collect()
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ANN recall too low: {recall}"

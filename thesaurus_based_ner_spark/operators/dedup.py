@@ -309,3 +309,68 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_bits: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+    n_tables: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Scale path: random-hyperplane LSH buckets (deterministic md5-derived
+    planes, shared with operators/simsearch) generate candidate pairs via a
+    bucket equi-join — one shuffle keyed on (table, bucket), never an
+    all-pairs cross join; exact cosine verification touches candidates
+    only. Candidate recall is probabilistic in general (raise n_tables /
+    lower n_bits to push it up); because the buckets are deterministic the
+    whole operator is value-checkable by a SQL oracle replicating the same
+    plane literals (plans/queries.dedup_embedding).
+    """
+    from thesaurus_based_ner_spark.operators.simsearch import (
+        _hyperplane_weights,
+        bucket_col,
+    )
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("e")
+    )
+    buckets = None
+    for t in range(n_tables):
+        planes = _hyperplane_weights(dim, n_bits, seed + 1000 * t)
+        b = base.select(
+            "id", "e", F.lit(t).alias("table"), bucket_col("e", planes).alias("bucket")
+        )
+        buckets = b if buckets is None else buckets.unionByName(b)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.aggregate("ea", F.lit(0.0), lambda acc, x: acc + x * x)
+    nb = F.aggregate("eb", F.lit(0.0), lambda acc, x: acc + x * x)
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.e").alias("ea"),
+            F.col("b.e").alias("eb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        cands.withColumn("cos", F.round(dot / F.sqrt(na * nb), 6))
+        .filter(F.col("cos") >= threshold)
+        .select("a_id", "b_id", "cos")
+    )

@@ -60,25 +60,41 @@ def _hyperplane_weights(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     return planes
 
 
-def _bucket_expr(vec_col: str, planes: list[list[float]]):
-    bits = []
-    for j, w in enumerate(planes):
-        dot = None
-        for d, wd in enumerate(w):
-            term = F.element_at(F.col(vec_col), d + 1) * F.lit(wd)
-            dot = term if dot is None else dot + term
-        bits.append(F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+def _planes_lit(planes: list[list[float]]):
+    """Hyperplanes as ONE foldable array<array<double>> literal column —
+    constant-folded by Catalyst into a single Literal, instead of
+    dim × n_bits scalar expression nodes inlined into the plan (which blew
+    codegen past the method-size limit and dominated planning time)."""
+    return F.array(*[F.array(*[F.lit(float(w)) for w in p]) for p in planes])
+
+
+def bucket_col(vec_col: str, planes: list[list[float]]):
+    """LSH bucket id: sign bits of plane·vec, folded MSB-first to an int.
+
+    One pass over a 2-D array literal (transform + zip_with aggregate);
+    mirrored exactly by the DuckDB oracle via list_dot_product +
+    list_reduce so `ann_lsh_topk` is value-checkable end to end.
+    """
+    bits = F.transform(
+        _planes_lit(planes),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(p, F.col(vec_col), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, x: acc * 2 + x).cast("int")
 
 
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int | None = None,
+    n_bits: int = 8,
     dim: int = 64,
     seed: int = 42,
     n_tables: int = 2,
@@ -87,22 +103,20 @@ def lsh_topk(
     """Approximate top-k: multi-table hyperplane buckets + 1-bit
     multi-probe + exact re-rank of candidates.
 
-    n_bits defaults adaptively to ~log2(N/64): each bucket holds ~64
-    vectors, so candidate cost per query stays bounded while recall stays
-    high; multiple independent tables union their candidates (standard LSH
-    recall amplification).
+    n_bits is an explicit parameter (size it to ~log2(N/target_bucket));
+    no driver-side count. Multiple independent tables union their
+    candidates (standard LSH recall amplification). Fully deterministic —
+    hyperplanes derive from md5(seed:bit:dim) — so the whole operator is
+    value-checkable against a SQL oracle replicating the same buckets.
     """
-    if n_bits is None:
-        n = embeddings.count()
-        n_bits = max(2, min(16, (max(n, 1) // 64).bit_length()))
     emb_b = None
     q_b = None
     for t in range(n_tables):
         planes = _hyperplane_weights(dim, n_bits, seed + 1000 * t)
-        eb = embeddings.withColumn("bucket", _bucket_expr("e", planes)).withColumn(
+        eb = embeddings.withColumn("bucket", bucket_col("e", planes)).withColumn(
             "table", F.lit(t)
         )
-        qb = queries.withColumn("bucket", _bucket_expr("qe", planes)).withColumn(
+        qb = queries.withColumn("bucket", bucket_col("qe", planes)).withColumn(
             "table", F.lit(t)
         )
         emb_b = eb if emb_b is None else emb_b.unionByName(eb)

@@ -1174,12 +1174,106 @@ def chunked_mentions(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk")  # approximate — no SQL oracle; rows-only check +
-def ann_lsh_topk(spark, sf_dir):  # recall assertion in tests/test_simsearch.py
+def _lsh_planes_sql(n_bits: int, dim: int, seed: int, n_tables: int) -> str:
+    """VALUES rows (tbl, j, w) with the SAME md5-derived hyperplanes the
+    Spark operator uses — the LSH is deterministic, so the DuckDB oracle
+    replicates buckets, multiprobe and re-rank value-exactly."""
+    from thesaurus_based_ner_spark.operators.simsearch import _hyperplane_weights
+
+    rows = []
+    for t in range(n_tables):
+        for j, w in enumerate(_hyperplane_weights(dim, n_bits, seed + 1000 * t)):
+            arr = "[" + ", ".join(repr(x) for x in w) + "]"
+            rows.append(f"({t}, {j}, {arr}::DOUBLE[])")
+    return ", ".join(rows)
+
+
+_ANN_BITS, _ANN_DIM, _ANN_SEED, _ANN_TABLES = 8, 64, 42, 2
+
+
+@q(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes(tbl, j, w) AS (VALUES {{planes}}),
+    bits AS (
+      SELECT v.vec_id, p.tbl, p.j,
+             CASE WHEN list_dot_product(v.e, p.w) >= 0 THEN 1 ELSE 0 END AS b
+      FROM emb v CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(b * (1 << ({_ANN_BITS} - 1 - j))) AS INT) AS bucket
+      FROM bits GROUP BY vec_id, tbl
+    ),
+    qb AS (SELECT vec_id AS query_id, tbl, bucket FROM buckets WHERE vec_id < 8),
+    qprobe AS (
+      SELECT query_id, tbl, bucket FROM qb
+      UNION
+      SELECT query_id, tbl, CAST(xor(bucket, 1 << j) AS INT)
+      FROM qb CROSS JOIN (SELECT unnest(range({_ANN_BITS})) AS j)
+    ),
+    cand AS (
+      SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+      FROM qprobe q JOIN buckets b
+        ON q.tbl = b.tbl AND q.bucket = b.bucket AND b.vec_id <> q.query_id
+    ),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_cosine_similarity(qe.e, ne.e), 6) AS cos
+      FROM cand c
+      JOIN emb qe ON qe.vec_id = c.query_id
+      JOIN emb ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+      FROM scored) WHERE rank <= 5
+    """.replace(
+        "{planes}", _lsh_planes_sql(_ANN_BITS, _ANN_DIM, _ANN_SEED, _ANN_TABLES)
+    ),
+)
+def ann_lsh_topk(spark, sf_dir):
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     qv = e.filter("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    return simsearch.lsh_topk(e, qv, k=5)
+    return simsearch.lsh_topk(
+        e, qv, k=5, n_bits=_ANN_BITS, dim=_ANN_DIM,
+        seed=_ANN_SEED, n_tables=_ANN_TABLES,
+    )
+
+
+@q(
+    "dedup_embedding",
+    oracle=f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes(tbl, j, w) AS (VALUES {{planes}}),
+    bits AS (
+      SELECT v.vec_id, p.tbl, p.j,
+             CASE WHEN list_dot_product(v.e, p.w) >= 0 THEN 1 ELSE 0 END AS b
+      FROM emb v CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, tbl, CAST(SUM(b * (1 << (4 - 1 - j))) AS INT) AS bucket
+      FROM bits GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM buckets a JOIN buckets b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.a_id, c.b_id, ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cos
+    FROM cand c
+    JOIN emb ea ON ea.vec_id = c.a_id
+    JOIN emb eb ON eb.vec_id = c.b_id
+    WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= 0.4
+    """.replace("{planes}", _lsh_planes_sql(4, 64, 42, 2)),
+)
+def dedup_embedding(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings")
+    return dedup.embedding_neardup_pairs(
+        e, "vec_id", "embedding", threshold=0.4, n_bits=4, dim=64, seed=42, n_tables=2
+    )
