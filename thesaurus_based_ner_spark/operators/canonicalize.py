@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from thesaurus_based_ner_spark.operators.graph import (
-    connected_components,
+    connected_components_twostar,
     resolve_chains,
 )
 
@@ -44,7 +44,7 @@ def canonicalize_entities(
             F.col("src").alias("a"), F.col("root").alias("b")
         )
         edges = edges.unionByName(red)
-    cc = connected_components(edges.distinct())
+    cc = connected_components_twostar(edges.distinct())
     all_entities = anchor.select("entity").distinct()
     return (
         all_entities.join(

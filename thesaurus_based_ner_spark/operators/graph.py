@@ -99,6 +99,89 @@ def resolve_chains(
     return cur
 
 
+def connected_components_twostar(
+    edges: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(node, component) via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Converges in O(log n) rounds on ANY graph shape — the scale-safe
+    default for web graphs with long chains or unknown diameter, vs the
+    O(diameter) min-label propagation below. Each round is two
+    groupBy-min + join shuffles, all key-partitioned; convergence is
+    detected from a 1-row signature aggregate (count + xor of row hashes),
+    not a driver anti-join.
+
+    large-star: every neighbor v > u re-points at m(u) = min(N(u) ∪ {u});
+    small-star: every neighbor v ≤ u (and u itself) points at m(u).
+    At fixpoint every node points directly at its component min.
+    """
+    e = (
+        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # operate on canonical (big, small) pairs, symmetrize per round
+    cur = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).distinct()
+    cur = _checkpoint(cur)
+
+    def _sig(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def _min_nbr(sym: DataFrame) -> DataFrame:
+        return sym.groupBy("u").agg(F.min("v").alias("__mv")).select(
+            "u", F.least("__mv", "u").alias("m")
+        )
+
+    sig = _sig(cur)
+    for _ in range(max_iters):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = _min_nbr(sym)
+        # large-star: (v, m(u)) for v ∈ N(u), v > u
+        large = (
+            sym.join(mn, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        cur = (
+            large.filter(F.col("u") != F.col("v")).distinct()
+        )
+        cur = _checkpoint(cur)
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mn = _min_nbr(sym)
+        # small-star: (v, m(u)) for v ∈ N(u) ∪ {u}, v ≤ u
+        small = (
+            sym.join(mn, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mn.select(F.col("u"), F.col("m").alias("v")))
+        )
+        cur = small.filter(F.col("u") != F.col("v")).distinct()
+        cur = _checkpoint(cur)
+        new_sig = _sig(cur)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    # fixpoint: (u, v) edges point nodes at their component min
+    membership = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select("u").union(e.select(F.col("v")))
+        .distinct()
+        .join(membership.select("node"), F.col("u") == F.col("node"), "left_anti")
+        .select(F.col("u").alias("node"), F.col("u").alias("component"))
+    )
+    return membership.unionByName(roots)
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a",
@@ -110,7 +193,8 @@ def connected_components(
     Min-label propagation over symmetrized edges; each round one shuffle
     join + aggregate; converges in O(component diameter) rounds (our
     canonicalization graphs are shallow: shared-surface stars). For
-    web-scale graphs swap in large-star/small-star — same contract.
+    web-scale graphs / unknown diameter use connected_components_twostar —
+    same contract, O(log n) rounds.
     """
     sym = (
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))

@@ -1093,7 +1093,7 @@ def canonical_components(spark, sf_dir):
         )
         .distinct()
     )
-    return graph.connected_components(edges)
+    return graph.connected_components_twostar(edges)
 
 
 # ---------------------------------------------------------------------------
