@@ -20,6 +20,8 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from thesaurus_based_ner_spark.plans import queries as _q  # noqa: E402
+from thesaurus_based_ner_spark.plans import queries_ext as _qx  # noqa: E402,F401
+# queries_ext registers into the same QUERIES/ORACLES dicts on import
 
 
 def entry(spark: SparkSession) -> DataFrame:

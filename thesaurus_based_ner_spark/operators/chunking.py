@@ -111,3 +111,66 @@ def type_chunks_suffix(chunks: DataFrame, thesaurus: DataFrame) -> DataFrame:
         .filter("__rk = 1")
         .drop("__rk", "__t", "__n")
     )
+
+
+def right_shift_match_chunks(
+    chunks: DataFrame, matches: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """J5 containment ("right shift") chunk⋈match combo (reference
+    right_shift_match, matcher_model.py:124-133): every match contained in
+    a chunk emits a span from the CHUNK start to the MATCH end, labeled by
+    the match.
+
+    Equi-join on the sentence id with the containment range condition —
+    chunk and match tables are both mention-sized, the join is
+    key-partitioned.
+    """
+    c = chunks.select(
+        *[F.col(x).alias(f"__c_{x}") for x in id_cols],
+        F.col("m_start").alias("__cs"),
+        F.col("m_end").alias("__ce"),
+    )
+    cond = (F.col("__cs") <= F.col("m_start")) & (
+        F.col("m_end") <= F.col("__ce")
+    )
+    for x in id_cols:
+        cond = cond & (F.col(x) == F.col(f"__c_{x}"))
+    return (
+        matches.join(c, cond)
+        .select(
+            *id_cols,
+            F.col("__cs").alias("m_start"),
+            F.col("m_end"),
+            F.col("label"),
+        )
+        .distinct()
+    )
+
+
+def ends_with_match_chunks(
+    chunks: DataFrame, matches: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """J5 ends-with chunk⋈match (reference ends_with_match,
+    matcher_model.py:101-113): a chunk takes the label of the match ending
+    exactly at the chunk end and starting inside it; chunks with ≥ 2 such
+    matches are ambiguous (the reference raises NotImplementedError — we
+    drop them deterministically, documented divergence)."""
+    c = chunks.select(
+        *[F.col(x).alias(f"__c_{x}") for x in id_cols],
+        F.col("m_start").alias("__cs"),
+        F.col("m_end").alias("__ce"),
+    )
+    cond = (F.col("m_end") == F.col("__ce")) & (
+        F.col("__cs") <= F.col("m_start")
+    )
+    for x in id_cols:
+        cond = cond & (F.col(x) == F.col(f"__c_{x}"))
+    hits = matches.join(c, cond).groupBy(
+        *[F.col(f"__c_{x}").alias(x) for x in id_cols], "__cs", "__ce"
+    ).agg(F.count("*").alias("__k"), F.min("label").alias("label"))
+    return hits.filter(F.col("__k") == 1).select(
+        *id_cols,
+        F.col("__cs").alias("m_start"),
+        F.col("__ce").alias("m_end"),
+        "label",
+    )

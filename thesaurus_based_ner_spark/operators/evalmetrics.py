@@ -128,3 +128,254 @@ def lenient_prf(pred: DataFrame, gold: DataFrame, id_cols: list[str]) -> DataFra
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+def on_head_prf(pred: DataFrame, gold: DataFrame, id_cols: list[str]) -> DataFrame:
+    """On-head PRF (reference evaluate_on_head, evaluator.py:628-654):
+    spans reduced to (sentence, END, label) sets — a prediction is correct
+    if it ends where a gold span of the same label ends, regardless of
+    start. One full-outer join + aggregate."""
+    keys = id_cols + ["m_end", "label"]
+    p = pred.select(*keys).distinct().withColumn("__p", F.lit(1))
+    g = gold.select(*keys).distinct().withColumn("__g", F.lit(1))
+    agg = p.join(g, keys, "full").agg(
+        F.sum(F.coalesce("__p", F.lit(0))).alias("n_pred"),
+        F.sum(F.coalesce("__g", F.lit(0))).alias("n_gold"),
+        F.sum(
+            F.when(F.col("__p").isNotNull() & F.col("__g").isNotNull(), 1).otherwise(0)
+        ).alias("tp"),
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when((prec + rec) > 0, F.lit(2) * prec * rec / (prec + rec)).otherwise(0.0)
+    return agg.select(
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_gold").cast("bigint").alias("n_gold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def span_detection_prf(
+    pred: DataFrame, gold: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """Span-detection-only PRF (reference evaluate_span_detection,
+    evaluator.py:797-816): every label collapses to 'span', then strict
+    matching — measures boundary quality independent of typing."""
+    return strict_prf(
+        pred.withColumn("label", F.lit("span")),
+        gold.withColumn("label", F.lit("span")),
+        id_cols,
+    )
+
+
+def negative_token_prf(
+    tokens: DataFrame,
+    pred: DataFrame,
+    gold: DataFrame,
+    id_cols: list[str],
+) -> DataFrame:
+    """Negative-token PRF (reference calculate_negative_token_PRF,
+    evaluator.py:45-75): gold-negative = token under no gold span;
+    pred-negative = token under an nc-* pred span (or, when the prediction
+    contains NO nc-* spans at all, any token under no pred span).
+
+    tokens: one row per (ids..., pos). Coverage via interval joins + anti
+    joins — token-level but never materializes tag strings.
+    """
+    gold_cov = (
+        tokens.alias("t")
+        .join(
+            gold.alias("g"),
+            [F.col(f"t.{c}") == F.col(f"g.{c}") for c in id_cols]
+            + [
+                F.col("t.pos") >= F.col("g.m_start"),
+                F.col("t.pos") < F.col("g.m_end"),
+            ],
+            "left_semi",
+        )
+    )
+    g_neg = tokens.join(gold_cov, id_cols + ["pos"], "left_anti")
+    nc_pred = pred.filter(F.col("label").startswith("nc-"))
+    has_nc = nc_pred.limit(1).count() > 0
+    if has_nc:
+        p_neg = (
+            tokens.alias("t")
+            .join(
+                nc_pred.alias("p"),
+                [F.col(f"t.{c}") == F.col(f"p.{c}") for c in id_cols]
+                + [
+                    F.col("t.pos") >= F.col("p.m_start"),
+                    F.col("t.pos") < F.col("p.m_end"),
+                ],
+                "left_semi",
+            )
+        )
+    else:
+        covered = (
+            tokens.alias("t")
+            .join(
+                pred.alias("p"),
+                [F.col(f"t.{c}") == F.col(f"p.{c}") for c in id_cols]
+                + [
+                    F.col("t.pos") >= F.col("p.m_start"),
+                    F.col("t.pos") < F.col("p.m_end"),
+                ],
+                "left_semi",
+            )
+        )
+        p_neg = tokens.join(covered, id_cols + ["pos"], "left_anti")
+    keys = id_cols + ["pos"]
+    tp = p_neg.join(g_neg, keys, "left_semi").count()
+    n_p = p_neg.count()
+    n_g = g_neg.count()
+    prec = tp / n_p if (tp and n_p) else 0.0
+    rec = tp / n_g if (tp and n_g) else 0.0
+    f1 = 2 / (1 / prec + 1 / rec) if (prec and rec) else 0.0
+    spark = tokens.sparkSession
+    return spark.sql(
+        f"SELECT CAST({n_p} AS BIGINT) AS n_pred_neg,"
+        f" CAST({n_g} AS BIGINT) AS n_gold_neg, CAST({tp} AS BIGINT) AS tp,"
+        f" ROUND(CAST({prec} AS DOUBLE), 6) AS precision,"
+        f" ROUND(CAST({rec} AS DOUBLE), 6) AS recall,"
+        f" ROUND(CAST({f1} AS DOUBLE), 6) AS f1"
+    )
+
+
+def fp_analysis(pred: DataFrame, gold: DataFrame, id_cols: list[str]) -> DataFrame:
+    """FP breakdown (reference analyze_fp, evaluator.py:241-302): each
+    predicted span classifies as
+      - 'miss classification on end'     — an overlapping gold span shares
+        its label AND some overlapping gold span runs to (or past) the pred
+        end (the reference's `e in gold_ends` over the clipped slice);
+      - 'miss classification on non-end' — label shared, no such end;
+      - 'on all O'                       — no gold overlap at all;
+    spans overlapping gold of only OTHER labels are uncounted (reference
+    falls through). Exact matches land in 'on end', as in the reference.
+    """
+    p = pred.alias("p")
+    g = gold.alias("g")
+    cond = [F.col(f"p.{c}") == F.col(f"g.{c}") for c in id_cols]
+    overlap = (F.col("p.m_start") < F.col("g.m_end")) & (
+        F.col("g.m_start") < F.col("p.m_end")
+    )
+    c = cond[0] if cond else F.lit(True)
+    for x in cond[1:]:
+        c = c & x
+    joined = p.join(g, c & overlap, "left")
+    pkey = [F.col(f"p.{x}") for x in id_cols] + [
+        F.col("p.m_start"),
+        F.col("p.m_end"),
+        F.col("p.label"),
+    ]
+    per_pred = joined.groupBy(*pkey).agg(
+        F.max(
+            F.when(F.col("g.m_start").isNotNull(), 1).otherwise(0)
+        ).alias("__any"),
+        F.max(
+            F.when(F.col("p.label") == F.col("g.label"), 1).otherwise(0)
+        ).alias("__lab"),
+        F.max(
+            F.when(F.col("g.m_end") >= F.col("p.m_end"), 1).otherwise(0)
+        ).alias("__end"),
+    )
+    cls = (
+        F.when(F.col("__any") == 0, F.lit("on all O"))
+        .when(
+            (F.col("__lab") == 1) & (F.col("__end") == 1),
+            F.lit("miss classification on end"),
+        )
+        .when(F.col("__lab") == 1, F.lit("miss classification on non-end"))
+    )
+    counted = per_pred.withColumn("class", cls).filter(F.col("class").isNotNull())
+    out = counted.groupBy("class").agg(F.count("*").alias("count"))
+    total = F.sum("count").over(Window.partitionBy())
+    return out.select(
+        "class",
+        F.col("count").cast("bigint").alias("count"),
+        F.round(F.col("count") * 100.0 / total, 6).alias("ratio_pct"),
+    )
+
+
+def prf_by_length(
+    pred: DataFrame,
+    gold: DataFrame,
+    sentences: DataFrame,
+    id_cols: list[str],
+    bin_size: int = 5,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Strict PRF bucketed by sentence token length (reference
+    evaluate_by_sentence_length, evaluator.py:720-762: bins (0,5], (5,10],
+    …). One row per bin with P/R/F1."""
+    bins = sentences.select(
+        *id_cols,
+        (
+            F.floor((F.size(tokens_col) - 1) / bin_size) * bin_size
+        ).cast("bigint").alias("bin_lo"),
+    )
+    keys = id_cols + ["m_start", "m_end", "label"]
+    pb = pred.join(bins, id_cols).select(*keys, "bin_lo")
+    gb = gold.join(bins, id_cols).select(*keys, "bin_lo")
+    p = pb.groupBy("bin_lo").agg(F.count("*").alias("n_pred"))
+    g = gb.groupBy("bin_lo").agg(F.count("*").alias("n_gold"))
+    tp = (
+        pb.join(gb, keys + ["bin_lo"], "left_semi")
+        .groupBy("bin_lo")
+        .agg(F.count("*").alias("tp"))
+    )
+    out = (
+        p.join(g, "bin_lo", "full")
+        .join(tp, "bin_lo", "left")
+        .fillna(0, ["n_pred", "n_gold", "tp"])
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(0.0)
+    f1 = F.when((prec + rec) > 0, F.lit(2) * prec * rec / (prec + rec)).otherwise(0.0)
+    return out.select(
+        "bin_lo",
+        (F.col("bin_lo") + bin_size).cast("bigint").alias("bin_hi"),
+        F.col("n_pred").cast("bigint").alias("n_pred"),
+        F.col("n_gold").cast("bigint").alias("n_gold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def enumerated_negative_spans(
+    sentences: DataFrame,
+    gold: DataFrame,
+    id_cols: list[str],
+    max_len: int = 4,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """SO2: all candidate spans up to max_len tokens MINUS gold spans
+    (reference get_enumerated_negative_spans, evaluator.py:318-343).
+
+    Candidate enumeration is a per-sentence sequence explosion (bounded by
+    max_len × |tokens| rows); the subtraction is a left-anti join on the
+    span key. Both engines run the same SQL shape.
+    """
+    cand = sentences.select(
+        *id_cols,
+        F.explode(
+            F.expr(
+                f"""
+                flatten(transform(sequence(0, size({tokens_col}) - 1), i ->
+                  transform(sequence(i + 1,
+                                     least(i + {max_len}, size({tokens_col}))),
+                            j -> struct(CAST(i AS BIGINT) AS m_start,
+                                        CAST(j AS BIGINT) AS m_end))))
+                """
+            )
+        ).alias("__s"),
+    ).select(*id_cols, "__s.m_start", "__s.m_end")
+    return cand.join(
+        gold.select(*id_cols, "m_start", "m_end").distinct(),
+        id_cols + ["m_start", "m_end"],
+        "left_anti",
+    )

@@ -20,8 +20,35 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _fork(df: DataFrame) -> DataFrame:
+    """Fresh-attribute copy of a frame (double alias projection).
+
+    Spark 4.1's checkpoint/cache plan canonicalization intermittently
+    throws NoSuchElementException when one checkpointed frame is
+    referenced several times in a plan (self-join + anti-join + union) —
+    the references share attribute ids. Re-aliasing through temp names
+    allocates new ids per reference, which reliably avoids it.
+    """
+    cols = df.columns
+    tmp = [f"__fork_{c}" for c in cols]
+    return df.toDF(*tmp).select(
+        *[F.col(t).alias(c) for t, c in zip(tmp, cols)]
+    )
+
+
 def _checkpoint(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    try:
+        return df.localCheckpoint(eager=True)
+    except Exception:
+        # Spark 4.1 localCheckpoint intermittently throws
+        # NoSuchElementException on plans that self-join an
+        # already-checkpointed frame (attribute-id collision in the
+        # checkpoint plan copy; execution itself is fine). Fall back to
+        # cache + materialize — no lineage cut, but these loops are
+        # depth-bounded so plan growth stays modest.
+        df = df.cache()
+        df.count()
+        return df
 
 
 def ancestor_closure(
@@ -38,28 +65,43 @@ def ancestor_closure(
     when no new pairs appear. include_self mirrors the reference's
     get_ascendant_tuis which includes the node itself (utils.py:343-360).
     """
-    e = edges.select(
-        F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
-    ).distinct()
-    closure = _checkpoint(e)
-    frontier = closure
+    e = _checkpoint(
+        edges.select(
+            F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
+        ).distinct()
+    )
+    # closure is kept as a LIST of checkpointed deltas, unioned lazily:
+    # each delta is an RDD-scan plan so lineage stays flat. Only the
+    # CHECKPOINTED e is referenced below — mixing a plan with its own
+    # checkpoint (shared expr ids) makes Spark 4.1's localCheckpoint throw
+    # NoSuchElementException on plan attributes.
+    deltas = [e]
+    frontier = deltas[0]
+
+    def _closure_so_far() -> DataFrame:
+        out = _fork(deltas[0])
+        for d in deltas[1:]:
+            out = out.unionByName(_fork(d))
+        return out
+
     for _ in range(max_depth):
         nxt = (
-            frontier.alias("f")
-            .join(e.alias("e"), F.col("f.ancestor") == F.col("e.node"))
+            _fork(frontier).alias("f")
+            .join(_fork(e).alias("e"), F.col("f.ancestor") == F.col("e.node"))
             .select(F.col("f.node"), F.col("e.ancestor"))
             .distinct()
-            .join(closure, ["node", "ancestor"], "left_anti")
+            .join(_closure_so_far(), ["node", "ancestor"], "left_anti")
         )
         nxt = _checkpoint(nxt)
         if nxt.isEmpty():
             break
-        closure = _checkpoint(closure.unionByName(nxt))
+        deltas.append(nxt)
         frontier = nxt
+    closure = _closure_so_far()
     if include_self:
         nodes = (
-            e.select("node")
-            .union(e.select("ancestor"))
+            _fork(e).select("node")
+            .union(_fork(e).select("ancestor"))
             .distinct()
             .select("node", F.col("node").alias("ancestor"))
         )
@@ -230,3 +272,33 @@ def connected_components(
         if not changed:
             break
     return labels.select(F.col("u").alias("node"), "component")
+
+
+def transitive_reduction(
+    edges: DataFrame, child_col: str = "child", parent_col: str = "parent"
+) -> DataFrame:
+    """G2: minimal DAG with the same reachability (reference uses
+    networkx.transitive_reduction on the DBpedia ontology,
+    /root/reference/src/dataset/utils.py:206-217).
+
+    Edge u→v is redundant iff some other out-edge u→w reaches v
+    transitively (w ≠ v). One closure build + one equi-join + one anti
+    join — ontology graphs are dim-sized, the closure is the bounded
+    iterative self-join from ancestor_closure.
+    """
+    e = edges.select(
+        F.col(child_col).alias("u"), F.col(parent_col).alias("v")
+    ).distinct()
+    closure = ancestor_closure(e, "u", "v", include_self=False)
+    mid = (
+        e.alias("e1")
+        .join(
+            closure.alias("c"),
+            (F.col("e1.v") == F.col("c.node")),
+        )
+        .select(F.col("e1.u").alias("u"), F.col("c.ancestor").alias("v"))
+        .distinct()
+    )
+    return e.join(mid, ["u", "v"], "left_anti").select(
+        F.col("u").alias(child_col), F.col("v").alias(parent_col)
+    )

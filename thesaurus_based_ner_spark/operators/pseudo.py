@@ -59,3 +59,131 @@ def train_validation_split(
     made partition-stable via key hashing)."""
     train, val = seeded_split(pseudo, [0.9, 0.1], seed, key_cols)
     return train, val
+
+
+def remove_misguided_fns(spans: DataFrame, id_cols: list[str]) -> DataFrame:
+    """F6: drop nc-* spans that token-overlap any MISGUIDANCE span; drop
+    the MISGUIDANCE markers themselves; keep everything else (reference
+    remove_misguided_fns, typer/data_translator.py:45-61).
+
+    Relational: an interval-overlap LEFT ANTI join of the nc-* subset
+    against the marker subset, keyed on the sentence id (equi part) with
+    the range condition — no token explosion needed because token-set
+    intersection of integer ranges IS interval overlap.
+    """
+    markers = spans.filter(F.col("label") == "MISGUIDANCE").select(
+        *[F.col(c).alias(f"__m_{c}") for c in id_cols],
+        F.col("m_start").alias("__ms"),
+        F.col("m_end").alias("__me"),
+    )
+    keep_plain = spans.filter(
+        (F.col("label") != "MISGUIDANCE") & ~F.col("label").startswith("nc")
+    )
+    nc = spans.filter(
+        (F.col("label") != "MISGUIDANCE") & F.col("label").startswith("nc")
+    )
+    cond = (F.col("m_start") < F.col("__me")) & (F.col("__ms") < F.col("m_end"))
+    for c in id_cols:
+        cond = cond & (F.col(c) == F.col(f"__m_{c}"))
+    nc_kept = nc.join(markers, cond, "left_anti")
+    return keep_plain.unionByName(nc_kept)
+
+
+def msmlc_dataset(
+    sentences: DataFrame,
+    mentions_multi: DataFrame,
+    id_cols: list[str],
+    with_weight: bool = True,
+) -> DataFrame:
+    """Multi-span multi-label classification dataset (reference
+    pseudo_multi_label_ner_dataset.py:82-96 features): per sentence,
+    parallel arrays starts / ends / labels(Seq[Seq]) / weights(Seq[Seq]).
+
+    mentions_multi: (ids..., m_start, m_end, labels array, weights array).
+    Spans are sorted by (start, end) so the packed arrays are deterministic.
+    """
+    packed = (
+        mentions_multi.groupBy(*id_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("m_start", "m_end", "labels", "weights")
+                )
+            ).alias("__sp")
+        )
+    )
+    out = sentences.join(packed, id_cols, "inner").select(
+        *id_cols,
+        "tokens",
+        F.transform("__sp", lambda s: s["m_start"]).alias("starts"),
+        F.transform("__sp", lambda s: s["m_end"]).alias("ends"),
+        F.transform("__sp", lambda s: s["labels"]).alias("labels"),
+        *(
+            [F.transform("__sp", lambda s: s["weights"]).alias("weights")]
+            if with_weight
+            else []
+        ),
+    )
+    return out
+
+
+def greedy_bio_spans(
+    spans: DataFrame, id_cols: list[str], prob_col: str = "prob"
+) -> DataFrame:
+    """W3: greedy probability-ordered span selection (reference
+    load_ner_tags, utils/typer_to_bio.py:17-32): visit spans by prob desc,
+    accept a span iff no already-accepted span overlaps it; nc-* spans are
+    never accepted.
+
+    The accept decision is chain-sequential per sentence, so it runs as a
+    higher-order aggregate over the per-sentence span list (sentences hold
+    a handful of spans; the collect_list shuffle is keyed on the sentence
+    id). Ties on prob break by (m_start, m_end, label) for determinism.
+    """
+    pos = spans.filter(~F.col("label").startswith("nc-"))
+    packed = pos.groupBy(*id_cols).agg(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(prob_col).alias("p"),
+                        (-F.col("m_start")).alias("ns"),
+                        (-F.col("m_end")).alias("ne"),
+                        F.col("m_start").alias("s"),
+                        F.col("m_end").alias("e"),
+                        F.col("label").alias("l"),
+                    )
+                )
+            )
+        ).alias("__cand")
+    )
+    # accumulate accepted spans: acc is an array of accepted (s, e) structs
+    accepted = F.aggregate(
+        "__cand",
+        F.expr("CAST(array() AS ARRAY<STRUCT<s: BIGINT, e: BIGINT, l: STRING>>)"),
+        lambda acc, c: F.when(
+            F.exists(acc, lambda a: (c["s"] < a["e"]) & (a["s"] < c["e"])),
+            acc,
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        c["s"].cast("bigint").alias("s"),
+                        c["e"].cast("bigint").alias("e"),
+                        c["l"].alias("l"),
+                    )
+                ),
+            )
+        ),
+    )
+    return (
+        packed.withColumn("__acc", accepted)
+        .select(*id_cols, F.explode("__acc").alias("__a"))
+        .select(
+            *id_cols,
+            F.col("__a.s").alias("m_start"),
+            F.col("__a.e").alias("m_end"),
+            F.col("__a.l").alias("label"),
+        )
+    )

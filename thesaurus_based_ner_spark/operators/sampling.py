@@ -68,3 +68,67 @@ def shard(df: DataFrame, k: int, seed: int, key_cols: list[str]) -> DataFrame:
     return df.withColumn(
         "shard", F.pmod(F.xxhash64(*key_cols, F.lit(seed)), F.lit(k)).cast("int")
     )
+
+
+def few_shot_sample(
+    spans: DataFrame, id_cols: list[str], sample_num: int
+) -> DataFrame:
+    """P5: greedy few-shot sentence selection (reference
+    few_sample_from_dataset, dataset/few_shot_sample.py:6-40): repeatedly
+    take the sentence with the most entity spans whose per-label counts
+    still fit within the remaining per-label budget (sample_num each),
+    ties broken by sentence key order (the reference's stable argsort).
+
+    spans: (ids..., label) one row per gold entity. The per-sentence count
+    matrix is aggregated distributedly, but the greedy walk itself runs on
+    the driver — few-shot selection is inherently sequential and the input
+    is a gold corpus (dim-sized by definition; guarded by a row cap).
+    Returns the selected sentence keys.
+    """
+    per_snt = (
+        spans.groupBy(*id_cols)
+        .pivot("label")
+        .count()
+        .fillna(0)
+    )
+    rows = per_snt.collect()
+    if len(rows) > 200_000:
+        raise ValueError(
+            "few_shot_sample collects per-sentence label counts; "
+            f"{len(rows)} sentences is beyond gold-corpus scale"
+        )
+    labels = [c for c in per_snt.columns if c not in id_cols]
+    remaining = {l: sample_num for l in labels}
+    # stable order: total spans desc, then sentence key asc
+    cand = sorted(
+        rows,
+        key=lambda r: (-sum(r[l] for l in labels), tuple(r[c] for c in id_cols)),
+    )
+    picked = []
+    chosen = [True] * len(cand)
+    progress = True
+    while progress and any(v > 0 for v in remaining.values()):
+        progress = False
+        for i, r in enumerate(cand):
+            if not chosen[i]:
+                continue
+            counts = {l: r[l] for l in labels}
+            if sum(counts.values()) == 0:
+                chosen[i] = False
+                continue
+            if all(counts[l] <= remaining[l] for l in labels):
+                picked.append(tuple(r[c] for c in id_cols))
+                chosen[i] = False
+                for l in labels:
+                    remaining[l] -= counts[l]
+                progress = True
+                break
+    spark = spans.sparkSession
+    if not picked:
+        return spans.select(*id_cols).limit(0)
+    body = ", ".join(
+        "(" + ", ".join(repr(v) for v in key) + ")" for key in picked
+    )
+    return spark.sql(
+        f"SELECT * FROM VALUES {body} AS t({', '.join(id_cols)})"
+    )

@@ -339,3 +339,206 @@ def remove_anomaly_suffix_terms(term2cat: DataFrame) -> DataFrame:
         "left_semi",
     )
     return term2cat.join(bad, ["term", "cat"], "left_anti")
+
+
+# --- negative-category derivation (SO1) + hierarchy selection (W6) -----------
+
+def umls_negative_cats(
+    edges: DataFrame, focus_cats: list[str], child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Siblings-of-ancestors negative categories (reference
+    get_umls_negative_cats, /root/reference/src/dataset/utils.py:313-340):
+    negatives = children(ascendants(focus)) − ascendants − focus, where
+    ascendants includes every proper ancestor of any focus cat.
+
+    One closure build (iterative self-join, bounded depth) + three
+    broadcast-sized joins — the cat hierarchy is a dim table.
+    """
+    from thesaurus_based_ner_spark.operators.graph import ancestor_closure
+
+    spark = edges.sparkSession
+    focus = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{c}')" for c in sorted(set(focus_cats)))
+        + " AS t(cat)"
+    )
+    closure = ancestor_closure(edges, child_col, parent_col, include_self=True)
+    ascendants = (
+        closure.join(focus, closure["node"] == focus["cat"], "left_semi")
+        .select(F.col("ancestor").alias("cat"))
+        .distinct()
+        .join(focus, "cat", "left_anti")  # ascendants −= focus (utils.py:332)
+    )
+    children_of_asc = (
+        edges.join(
+            ascendants, edges[parent_col] == ascendants["cat"], "left_semi"
+        )
+        .select(F.col(child_col).alias("cat"))
+        .distinct()
+    )
+    return (
+        children_of_asc.join(ascendants, "cat", "left_anti")
+        .join(focus, "cat", "left_anti")
+        .select("cat")
+    )
+
+
+def negative_cats_from_positive(
+    edges: DataFrame, positive_cats: list[str], child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Topmost hierarchy nodes whose subtree contains no positive cat
+    (reference get_negative_cats_from_positive_cats BFS,
+    utils.py:447-478): a node is returned iff it is negative (no positive
+    descendant incl. itself) and every proper ancestor is non-negative and
+    non-positive — the BFS stops exploring below positive/negative nodes.
+    """
+    from thesaurus_based_ner_spark.operators.graph import ancestor_closure
+
+    spark = edges.sparkSession
+    pos = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{c}')" for c in sorted(set(positive_cats)))
+        + " AS t(cat)"
+    )
+    closure = ancestor_closure(edges, child_col, parent_col, include_self=True)
+    # nodes whose subtree (descendants incl self) holds a positive
+    has_pos = (
+        closure.join(pos, closure["node"] == pos["cat"], "left_semi")
+        .select(F.col("ancestor").alias("n"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col(child_col).alias("n"))
+        .union(edges.select(F.col(parent_col).alias("n")))
+        .distinct()
+    )
+    negative = nodes.join(has_pos, "n", "left_anti")
+    # blocked: some PROPER ancestor is negative (subsumed) or positive
+    proper_anc = closure.filter(F.col("node") != F.col("ancestor"))
+    blocked_by_neg = (
+        proper_anc.join(
+            negative, proper_anc["ancestor"] == negative["n"], "left_semi"
+        )
+        .select(F.col("node").alias("n"))
+        .distinct()
+    )
+    blocked_by_pos = (
+        proper_anc.join(pos, proper_anc["ancestor"] == pos["cat"], "left_semi")
+        .select(F.col("node").alias("n"))
+        .distinct()
+    )
+    return (
+        negative.join(blocked_by_neg, "n", "left_anti")
+        .join(blocked_by_pos, "n", "left_anti")
+        .select(F.col("n").alias("cat"))
+    )
+
+
+def hierarchical_valid_labels(
+    ranked: DataFrame, closure: DataFrame, id_cols: list[str],
+    rank_col: str = "rank", label_col: str = "label",
+) -> DataFrame:
+    """W6: greedy rank-prefix selection of hierarchy-consistent labels
+    (reference ranked_label2hierarchical_valid_labels, utils.py:430-444).
+
+    Greedily accept ranked labels while they stay on ONE root chain (every
+    pair ancestor/descendant-related); stop at the first conflict; the
+    output is the full root path of the DEEPEST accepted label (reference's
+    get_complete_path fallback collapses to exactly this).
+
+    Relational form (no sequential loop): the break rank per id is the min
+    rank that conflicts with ANY earlier rank; kept = ranks below it;
+    deepest = max depth among kept; output = ancestors of the deepest.
+    """
+    rel = closure.select(
+        F.col("node").alias("__a"), F.col("ancestor").alias("__b")
+    )
+    compat = rel.unionByName(
+        rel.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+    ).distinct()
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    id_eq = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in id_cols]
+    cond = (F.col(f"a.{rank_col}") < F.col(f"b.{rank_col}"))
+    for c in id_eq:
+        cond = cond & c
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}") for c in id_cols],
+        F.col(f"a.{label_col}").alias("__la"),
+        F.col(f"b.{label_col}").alias("__lb"),
+        F.col(f"b.{rank_col}").alias("__rb"),
+    )
+    conflicts = pairs.join(
+        compat,
+        (pairs["__la"] == compat["__a"]) & (pairs["__lb"] == compat["__b"]),
+        "left_anti",
+    )
+    break_rank = conflicts.groupBy(*id_cols).agg(
+        F.min("__rb").alias("__break")
+    )
+    kept = ranked.join(break_rank, id_cols, "left").filter(
+        F.col("__break").isNull() | (F.col(rank_col) < F.col("__break"))
+    )
+    depth = closure.groupBy("node").agg(F.count("*").alias("__depth"))
+    deepest = (
+        kept.join(depth, kept[label_col] == depth["node"])
+        .groupBy(*id_cols)
+        .agg(
+            F.max_by(
+                F.struct(F.col(label_col).alias("l"), F.col("__depth").alias("d")),
+                F.struct(F.col("__depth"), F.col(label_col)),
+            ).alias("__best")
+        )
+        .select(*id_cols, F.col("__best.l").alias("__deep"))
+    )
+    return (
+        deepest.join(closure, deepest["__deep"] == closure["node"])
+        .join(depth, closure["ancestor"] == depth["node"])
+        .select(
+            *id_cols,
+            F.col("ancestor").alias(label_col),
+            F.col("__depth").cast("bigint").alias("depth"),
+        )
+    )
+
+
+def oracle_term2cat(spans: DataFrame, surface_col: str = "surface",
+                    label_col: str = "label") -> DataFrame:
+    """SO3: dictionary from gold spans with cross-category terms removed
+    (reference load_oracle_term2cat, term2cat/term2cat.py:179-205): a term
+    seen under ≥ 2 distinct cats is dropped entirely; survivors map to
+    their single cat.
+    """
+    pairs = spans.select(
+        F.col(surface_col).alias("term"), F.col(label_col).alias("cat")
+    ).distinct()
+    per_term = pairs.groupBy("term").agg(
+        F.count("*").alias("__n"), F.min("cat").alias("cat")
+    )
+    return per_term.filter(F.col("__n") == 1).select("term", "cat")
+
+
+def assert_pos_neg_disjoint(term2cat: DataFrame) -> dict:
+    """SO5: positive and nc-* term sets must not intersect
+    (pseudo_dataset.py asserts the dict split is clean). Returns counter
+    metrics; raises on violation."""
+    row = term2cat.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("cat").startswith("nc-"), 1).otherwise(0)
+        ).alias("n_neg"),
+        F.count_distinct("term").alias("n_terms"),
+    ).collect()[0]
+    dup = (
+        term2cat.select("term", F.col("cat").startswith("nc-").alias("__neg"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").alias("__k"))
+        .filter(F.col("__k") > 1)
+        .count()
+    )
+    if dup:
+        raise AssertionError(f"{dup} terms appear as both positive and nc-*")
+    return {"n": row["n"], "n_neg": row["n_neg"] or 0, "n_terms": row["n_terms"]}

@@ -52,6 +52,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark 4.1.2: RemoveRedundantAliases emits invalid plans (and
+        # checkpoint/cache canonicalization NoSuchElementExceptions) on
+        # iterative self-join graphs over checkpointed frames; excluding it
+        # costs only a few surviving no-op projections.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases",
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():
