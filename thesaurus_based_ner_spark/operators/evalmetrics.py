@@ -10,7 +10,7 @@ Span tables: (doc-id cols..., m_start, m_end, label).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def strict_prf(pred: DataFrame, gold: DataFrame, id_cols: list[str]) -> DataFrame:

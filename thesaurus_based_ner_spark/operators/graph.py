@@ -20,6 +20,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+_BAD_RULE = "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases"
+
+
+def _ensure_safe_optimizer(spark) -> None:
+    """Exclude RemoveRedundantAliases (runtime SQL conf) — Spark 4.1.2
+    emits invalid plans / checkpoint canonicalization failures with it on
+    iterative self-join graphs over checkpointed frames. Called from every
+    iterative graph operator so the library is safe under ANY session
+    (spark-submit ship path included), not just our get_spark() builder.
+    """
+    cur = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    if _BAD_RULE not in cur:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            f"{cur},{_BAD_RULE}" if cur else _BAD_RULE,
+        )
+
+
 def _fork(df: DataFrame) -> DataFrame:
     """Fresh-attribute copy of a frame (double alias projection).
 
@@ -65,6 +83,7 @@ def ancestor_closure(
     when no new pairs appear. include_self mirrors the reference's
     get_ascendant_tuis which includes the node itself (utils.py:343-360).
     """
+    _ensure_safe_optimizer(edges.sparkSession)
     e = _checkpoint(
         edges.select(
             F.col(child_col).alias("node"), F.col(parent_col).alias("ancestor")
@@ -123,6 +142,7 @@ def resolve_chains(
     max_depth bounds pathological cycles — on hitting it, remaining rows
     keep their last target (same as the reference's break-on-no-progress).
     """
+    _ensure_safe_optimizer(edges.sparkSession)
     cur = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("root"))
     e = edges.select(
         F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
@@ -161,6 +181,7 @@ def connected_components_twostar(
     small-star: every neighbor v ≤ u (and u itself) points at m(u).
     At fixpoint every node points directly at its component min.
     """
+    _ensure_safe_optimizer(edges.sparkSession)
     e = (
         edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .filter(F.col("u") != F.col("v"))

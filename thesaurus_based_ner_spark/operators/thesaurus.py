@@ -493,13 +493,19 @@ def hierarchical_valid_labels(
         )
         .select(*id_cols, F.col("__best.l").alias("__deep"))
     )
+    path = closure.select(
+        F.col("node").alias("__pn"), F.col("ancestor").alias("__pa")
+    )
+    depth2 = depth.select(
+        F.col("node").alias("__dn"), F.col("__depth").alias("__dd")
+    )
     return (
-        deepest.join(closure, deepest["__deep"] == closure["node"])
-        .join(depth, closure["ancestor"] == depth["node"])
+        deepest.join(path, deepest["__deep"] == path["__pn"])
+        .join(depth2, path["__pa"] == depth2["__dn"])
         .select(
             *id_cols,
-            F.col("ancestor").alias(label_col),
-            F.col("__depth").cast("bigint").alias("depth"),
+            F.col("__pa").alias(label_col),
+            F.col("__dd").cast("bigint").alias("depth"),
         )
     )
 
