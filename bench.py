@@ -61,6 +61,9 @@ HEADLINE = [
     "chunked_mentions",
     "ann_lsh_topk",
     "dedup_embedding",
+    "gold_conll_spans",
+    "greedy_bio",
+    "multimodal_features",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))

@@ -1,0 +1,174 @@
+"""Unit tests for round-2 operators (reference-semantics spot checks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from thesaurus_based_ner_spark.operators import pseudo, sampling
+from thesaurus_based_ner_spark.operators.graph import (
+    ancestor_closure,
+    transitive_reduction,
+)
+from thesaurus_based_ner_spark.operators.thesaurus import (
+    assert_pos_neg_disjoint,
+    hierarchical_valid_labels,
+    negative_cats_from_positive,
+    umls_negative_cats,
+)
+
+
+def _df(spark, sql):
+    return spark.sql(sql)
+
+
+def test_remove_misguided_reference_semantics(spark):
+    # nc span overlapping a MISGUIDANCE span drops; non-nc overlapping stays
+    spans = _df(
+        spark,
+        """SELECT * FROM VALUES
+           (1, CAST(0 AS BIGINT), CAST(3 AS BIGINT), 'MISGUIDANCE'),
+           (1, CAST(2 AS BIGINT), CAST(4 AS BIGINT), 'nc-X'),
+           (1, CAST(5 AS BIGINT), CAST(6 AS BIGINT), 'nc-Y'),
+           (1, CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'ENT')
+           AS t(id, m_start, m_end, label)""",
+    )
+    out = {
+        (r["m_start"], r["m_end"], r["label"])
+        for r in pseudo.remove_misguided_fns(spans, ["id"]).collect()
+    }
+    assert out == {(5, 6, "nc-Y"), (1, 2, "ENT")}
+
+
+def test_greedy_bio_prob_order_and_nc_skip(spark):
+    spans = _df(
+        spark,
+        """SELECT * FROM VALUES
+           (1, CAST(0 AS BIGINT), CAST(3 AS BIGINT), 'A', 0.9),
+           (1, CAST(2 AS BIGINT), CAST(5 AS BIGINT), 'B', 0.8),
+           (1, CAST(4 AS BIGINT), CAST(6 AS BIGINT), 'C', 0.7),
+           (1, CAST(7 AS BIGINT), CAST(9 AS BIGINT), 'nc-D', 0.99)
+           AS t(id, m_start, m_end, label, prob)""",
+    )
+    out = {
+        (r["m_start"], r["m_end"], r["label"])
+        for r in pseudo.greedy_bio_spans(spans, ["id"]).collect()
+    }
+    # A accepted (top prob), B overlaps A -> skipped, C fits, nc-D excluded
+    assert out == {(0, 3, "A"), (4, 6, "C")}
+
+
+def test_umls_negative_cats_reference_shape(spark):
+    edges = _df(
+        spark,
+        "SELECT * FROM VALUES ('City','Place'), ('Country','Place'), "
+        "('Place','Entity'), ('Agent','Entity'), ('Org','Agent') "
+        "AS t(child, parent)",
+    )
+    # focus = City: ascendants = {Place, Entity}; children of those =
+    # {City, Country, Place, Agent}; minus asc minus focus = {Country, Agent}
+    out = {r["cat"] for r in umls_negative_cats(edges, ["City"]).collect()}
+    assert out == {"Country", "Agent"}
+
+
+def test_negative_cats_from_positive_topmost_only(spark):
+    edges = _df(
+        spark,
+        "SELECT * FROM VALUES ('b','a'), ('c','a'), ('d','b'), ('e','b'), "
+        "('f','c') AS t(child, parent)",
+    )
+    # positive = {d}: b has a positive descendant, c/f/e do not;
+    # topmost negatives = {c, e} (f is under negative c)
+    out = {
+        r["cat"] for r in negative_cats_from_positive(edges, ["d"]).collect()
+    }
+    assert out == {"c", "e"}
+
+
+def test_transitive_reduction_drops_shortcuts(spark):
+    edges = _df(
+        spark,
+        "SELECT * FROM VALUES ('a','b'), ('b','c'), ('a','c') "
+        "AS t(child, parent)",
+    )
+    out = {
+        (r["child"], r["parent"])
+        for r in transitive_reduction(edges).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}
+
+
+def test_hierarchical_valid_labels_break_and_path(spark):
+    edges = _df(
+        spark,
+        "SELECT * FROM VALUES ('b','a'), ('c','b'), ('x','a') "
+        "AS t(child, parent)",
+    )
+    closure = ancestor_closure(edges, include_self=True)
+    # ranked: c (on chain a-b-c), a (ancestor, ok), x (conflicts with c) —
+    # kept = {c, a}; deepest = c; output = full path {c, b, a}
+    ranked = _df(
+        spark,
+        "SELECT * FROM VALUES (1, 1, 'c'), (1, 2, 'a'), (1, 3, 'x'), "
+        "(1, 4, 'b') AS t(id, rank, label)",
+    )
+    out = {
+        r["label"]
+        for r in hierarchical_valid_labels(ranked, closure, ["id"]).collect()
+    }
+    assert out == {"a", "b", "c"}
+
+
+def test_drop_unknown_and_closure_expansion(spark):
+    spans = _df(
+        spark,
+        "SELECT * FROM VALUES (1, CAST(0 AS BIGINT), CAST(1 AS BIGINT), 'City'), "
+        "(1, CAST(2 AS BIGINT), CAST(3 AS BIGINT), 'UnknownType') "
+        "AS t(id, m_start, m_end, label)",
+    )
+    kept = pseudo.drop_unknown_type(spans)
+    assert kept.count() == 1
+    edges = _df(
+        spark, "SELECT * FROM VALUES ('City','Place'), ('Place','Entity') "
+        "AS t(child, parent)"
+    )
+    closure = ancestor_closure(edges, include_self=True)
+    out = pseudo.expand_span_labels_by_closure(kept, closure).collect()[0]
+    assert list(out["labels"]) == ["City", "Entity", "Place"]
+
+
+def test_assert_pos_neg_disjoint(spark):
+    ok = _df(
+        spark,
+        "SELECT * FROM VALUES ('cell', 'CellType'), ('data', 'nc-Thing') "
+        "AS t(term, cat)",
+    )
+    m = assert_pos_neg_disjoint(ok)
+    assert m["n"] == 2 and m["n_neg"] == 1
+    bad = _df(
+        spark,
+        "SELECT * FROM VALUES ('cell', 'CellType'), ('cell', 'nc-Thing') "
+        "AS t(term, cat)",
+    )
+    try:
+        assert_pos_neg_disjoint(bad)
+        raise RuntimeError("should have raised")
+    except AssertionError:
+        pass
+
+
+def test_few_shot_budget_respected(spark):
+    # doc 1: 1×A; doc 2: 1×A 1×B; doc 3: 3×A (exceeds budget 2 for A)
+    spans = _df(
+        spark,
+        """SELECT * FROM VALUES
+           (1, 'A'), (2, 'A'), (2, 'B'),
+           (3, 'A'), (3, 'A'), (3, 'A')
+           AS t(doc_id, label)""",
+    )
+    picked = {
+        r["doc_id"]
+        for r in sampling.few_shot_sample(spans, ["doc_id"], 2).collect()
+    }
+    # greedy: doc 2 first (2 spans, fits), then doc 1 (A budget 2-1=1 left);
+    # doc 3 never fits (3 A > 2)
+    assert picked == {1, 2}

@@ -43,10 +43,10 @@ def test_multimodal_plumbing_fake_decoder(spark):
     rows = feats.collect()
     assert len(rows) == 48
     r0 = next(r for r in rows if r.media_id == 0)
-    assert r0.n_bytes > 0 and len(r0.sha1) == 40 and len(r0.feature) == 8
+    assert r0.n_bytes > 0 and len(r0.sha256) == 64 and len(r0.feature) == 8
     # determinism across partitionings
     def key(r):
-        return (r.media_id, r.kind, r.n_bytes, r.sha1, r.width, r.height,
+        return (r.media_id, r.kind, r.n_bytes, r.sha256, r.width, r.height,
                 r.n_frames, tuple(r.feature))
 
     again = decode_and_featurize(media.repartition(7), fake=True).collect()

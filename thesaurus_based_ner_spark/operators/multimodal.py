@@ -22,15 +22,17 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_SCHEMA = (
-    "media_id bigint, kind string, n_bytes bigint, sha1 string, "
+    "media_id bigint, kind string, n_bytes bigint, sha256 string, "
     "width int, height int, n_frames int, feature array<float>"
 )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic stand-in for a real decoder: derives a stable
-    pseudo-geometry + 8-dim feature from the payload bytes."""
-    h = hashlib.sha1(payload).digest()
+    pseudo-geometry + 8-dim feature from the payload bytes. sha256-based
+    so an ANSI-SQL oracle can mirror it bit-exactly (multimodal_features
+    in plans/queries_ext.py)."""
+    h = hashlib.sha256(payload).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
     n_frames = 1 + h[2] % 8
@@ -73,7 +75,7 @@ def decode_and_featurize(
                         int(mid),
                         kind,
                         len(raw),
-                        hashlib.sha1(raw).hexdigest(),
+                        hashlib.sha256(raw).hexdigest(),
                         w,
                         h,
                         nf,
@@ -86,7 +88,7 @@ def decode_and_featurize(
                     "media_id",
                     "kind",
                     "n_bytes",
-                    "sha1",
+                    "sha256",
                     "width",
                     "height",
                     "n_frames",

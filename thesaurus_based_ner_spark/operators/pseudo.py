@@ -187,3 +187,25 @@ def greedy_bio_spans(
             F.col("__a.l").alias("label"),
         )
     )
+
+
+def drop_unknown_type(spans: DataFrame, label_col: str = "label") -> DataFrame:
+    """F7: drop UnknownType spans before multi-label expansion (reference
+    gold_dataset.py:332,420 skips them when building MSMLC datasets)."""
+    return spans.filter(F.col(label_col) != "UnknownType")
+
+
+def expand_span_labels_by_closure(
+    spans: DataFrame, closure: DataFrame, label_col: str = "label"
+) -> DataFrame:
+    """G3-on-spans: replace each span label with its sorted ancestor set
+    (reference gold_dataset.py:327-340: tui2ascendants expansion into
+    multi-label lists). closure: (node, ancestor) incl. self."""
+    j = spans.join(
+        F.broadcast(closure), spans[label_col] == closure["node"], "inner"
+    )
+    keys = [c for c in spans.columns if c != label_col]
+    return (
+        j.groupBy(*[spans[c] for c in keys])
+        .agg(F.array_sort(F.collect_set("ancestor")).alias("labels"))
+    )

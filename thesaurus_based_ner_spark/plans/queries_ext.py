@@ -1075,3 +1075,84 @@ def few_shot_docs(spark, sf_dir):
     spans = _gold_spans(spark, sf_dir)
     picked = sampling.few_shot_sample(spans, ["doc_id"], sample_num=5)
     return picked.select(F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary payloads → fake-decoded geometry +
+# feature vector. The Arrow-batched mapInPandas plumbing is the real
+# component under test; the deterministic sha256 fake decoder stands in
+# for codecs (absent in this container) and is mirrored bit-exactly by
+# the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_NIB = "strpos('0123456789abcdef', substr(h, {i}, 1)) - 1"
+
+
+def _byte_sql(k: int) -> str:
+    """k-th byte (0-based) of the sha256 hex digest column h."""
+    hi = _NIB.format(i=2 * k + 1)
+    lo = _NIB.format(i=2 * k + 2)
+    return f"(({hi}) * 16 + ({lo}))"
+
+
+_FEAT_SQL = ", ".join(
+    f"ROUND({_byte_sql(k)} / 255.0, 6)" for k in range(3, 11)
+)
+
+
+@q(
+    "multimodal_features",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             text, sha256(text) AS h
+      FROM documents
+    )
+    SELECT media_id, kind,
+           CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+           h AS sha256,
+           CAST(16 + {_byte_sql(0)} % 64 AS INT) AS width,
+           CAST(16 + {_byte_sql(1)} % 64 AS INT) AS height,
+           CAST(1 + {_byte_sql(2)} % 8 AS INT) AS n_frames,
+           CAST({_byte_sql(3)} + {_byte_sql(4)} + {_byte_sql(5)} AS BIGINT)
+             AS feat_head_bytes
+    FROM media
+    """,
+)
+def multimodal_features(spark, sf_dir):
+    from thesaurus_based_ner_spark.operators.multimodal import (
+        decode_and_featurize,
+    )
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit("{}").alias("meta"),
+    )
+    out = decode_and_featurize(media, fake=True)
+    # the feature vector itself is array-typed (engine hash comparison is
+    # unreliable on arrays); validate its source bytes via an exact integer
+    # checksum of the first three feature bytes instead — same provenance.
+    head = (
+        F.round(F.element_at("feature", 1) * 255).cast("bigint")
+        + F.round(F.element_at("feature", 2) * 255).cast("bigint")
+        + F.round(F.element_at("feature", 3) * 255).cast("bigint")
+    )
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        "width",
+        "height",
+        "n_frames",
+        head.alias("feat_head_bytes"),
+    )

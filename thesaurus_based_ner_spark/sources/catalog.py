@@ -92,6 +92,16 @@ class Catalog:
         come from the parquet footers — no extra job.
         """
         t0 = time.time()
+        # A9 per-stage counter metrics: an Observation rides the write job
+        # itself (no extra action) and lands in the lineage sidecar.
+        obs = None
+        try:
+            from pyspark.sql import Observation, functions as F
+
+            obs = Observation(f"obs_{name}_{int(t0 * 1000)}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        except Exception:
+            obs = None
         if self.use_iceberg:
             # Iceberg backend: namespaced table, snapshot = lineage anchor.
             from pyspark.sql import functions as F
@@ -119,6 +129,13 @@ class Catalog:
             ),
         }
         meta["rows_out"] = sum(p["rows"] for p in meta["partitions"])
+        if obs is not None:
+            try:
+                meta["observed"] = {
+                    k: v for k, v in obs.get.items() if k == "rows"
+                }
+            except Exception:
+                pass
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f, indent=1)
         return self.read(name)
