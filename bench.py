@@ -181,7 +181,7 @@ def main_pipeline_only(n_docs: int, reps: int = 1) -> None:
     print(json.dumps({"cpus": CPUS, "best": best, "reps": out}))
 
 
-def hw_bandwidth_probe(nprocs=(1, 2, 8, 32), seconds: float = 5.0) -> dict:
+def hw_bandwidth_probe(nprocs=(1, 2, 4, 8, 32), seconds: float = 5.0) -> dict:
     """STREAM-style copy-bandwidth scaling probe.
 
     Quantifies the host's memory-bandwidth ceiling — the hard limit on
@@ -218,7 +218,7 @@ def hw_bandwidth_probe(nprocs=(1, 2, 8, 32), seconds: float = 5.0) -> dict:
     return out
 
 
-SCALING_PAIRS = [(2, 8), (8, 32)]
+SCALING_PAIRS = [(1, 4), (2, 8), (8, 32)]
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
 
@@ -230,8 +230,9 @@ def main_scaling() -> None:
       SCALING_REPS timed repetitions in the same JVM (steady-state walls —
       what a long-running cluster job sees; the first-execution JIT/alloc
       warm-up cost is a constant, not a scaling property);
-    - two (N, 4N) pairs: (2, 8) in the host's bandwidth-unsaturated régime
-      and (8, 32) across its measured memory-bandwidth ceiling;
+    - three (N, 4N) pairs: (1, 4) and (2, 8) in/near the host's
+      bandwidth-unsaturated régime and (8, 32) across its measured
+      memory-bandwidth ceiling;
     - a STREAM-style probe records that ceiling so efficiency can be read
       against the hardware bound;
     - ALL rep walls are reported; efficiency uses best-rep throughput.
