@@ -83,21 +83,35 @@ def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
     )
 
 
-def _ngram_candidates(
+def _hash_key(n: int, toks: list) -> Column:
+    """64-bit join key for an n-gram: xxhash64(n, lower(tok_0..n-1)).
+
+    The length prefix disambiguates grams of different arity (xxhash64
+    skips NULL inputs, so without it a trailing-null 2-gram would collide
+    with the 1-gram at the same position). Collisions across different
+    strings are killed by the post-join exact string verify.
+    """
+    return F.xxhash64(F.lit(n), *[F.lower(t) for t in toks])
+
+
+def _hash_matches(
     df: DataFrame,
+    thesaurus: DataFrame,
     id_cols: list[str],
     lens: list[int],
-    first_tokens: list[str] | None = None,
+    first_tokens: list[str] | None,
 ) -> DataFrame:
-    """All (start, end, surface) n-grams for the given lengths.
+    """N-gram match via a 64-bit hash key — no pre-join string building.
 
-    Whole-stage-codegen-friendly formulation: posexplode + an early
-    first-token `isin` prune + direct array element access — no
-    higher-order-function lambdas (those run interpreted and dominated the
-    match stage ~5× in measurement), no per-candidate array copies.
-    Candidates whose first token cannot start any thesaurus term are
-    dropped BEFORE any surface string is built; at a 23M-surface scale
-    replace the inlined IN list with a broadcast Bloom filter.
+    The previous formulation built a concat_ws surface string (plus a
+    lowered copy at the join key) for EVERY candidate; most candidates
+    miss the broadcast join, so most of that allocation was waste. Here
+    candidates carry only (pos, n, xxhash64 key) into the join; the
+    surface string is constructed AFTER the join, for matches only
+    (mention-sized, not candidate-sized), then verified exactly against
+    the thesaurus row — which also eliminates hash-collision false
+    positives. All expressions are codegen built-ins; the hash reads the
+    same token bytes the concat did but allocates nothing.
     """
     base = df.select(*id_cols, "tokens", F.posexplode("tokens").alias("pos", "tok"))
     if first_tokens is not None and 0 < len(first_tokens) <= 10_000:
@@ -112,37 +126,37 @@ def _ngram_candidates(
                 F.struct(
                     F.col("pos").cast("bigint").alias("m_start"),
                     (F.col("pos") + n).cast("bigint").alias("m_end"),
-                    F.concat_ws(" ", *elems).alias("surface"),
+                    _hash_key(n, elems).alias("__k"),
                 ),
             )
         )
-    return (
-        base.select(*id_cols, F.explode(F.array(*structs)).alias("c"))
+    cand = (
+        base.select(*id_cols, "tokens", F.explode(F.array(*structs)).alias("c"))
         .where(F.col("c").isNotNull())
-        .select(*id_cols, "c.*")
+        .select(*id_cols, "tokens", "c.*")
     )
-
-
-def match_candidates(
-    cand: DataFrame, thesaurus: DataFrame, surface_col: str = "surface"
-) -> DataFrame:
-    """ONE broadcast-join against the case-split thesaurus.
-
-    Key = lowercased surface; case-sensitive terms add a post-join exact
-    check. Correct because the case split forces any lowercase collision to
-    be case-sensitive (string_match.py:91-140), so a ci term's lowered form
-    is unique and a cs term can only be reached via its own lowered form.
-    Single join = the corpus/candidate subtree is scanned once (vs a union
-    of two joins scanning it twice).
-    """
+    n_toks = F.split("joined_lower", " ")
+    th_key = None
+    for n in sorted(lens):
+        k = _hash_key(n, [F.element_at(n_toks, i + 1) for i in range(n)])
+        cond = F.col("n_tokens") == n
+        th_key = F.when(cond, k) if th_key is None else th_key.when(cond, k)
     th = thesaurus.select(
-        F.col("joined_lower").alias("__t"), F.col("joined").alias("__j"),
-        F.col("cs"), F.col("label"),
+        th_key.alias("__k"), F.col("joined_lower").alias("__t"),
+        F.col("joined").alias("__j"), F.col("cs"), F.col("label"),
+    )
+    joined = cand.join(F.broadcast(th), "__k", "inner")
+    surface = F.array_join(
+        F.slice(F.col("tokens"), F.col("m_start") + 1, F.col("m_end") - F.col("m_start")),
+        " ",
     )
     return (
-        cand.join(F.broadcast(th), F.lower(cand[surface_col]) == th["__t"], "inner")
-        .filter(~F.col("cs") | (F.col(surface_col) == F.col("__j")))
-        .drop("__t", "__j")
+        joined.withColumn("surface", surface)
+        .filter(
+            (F.lower("surface") == F.col("__t"))  # collision + validity check
+            & (~F.col("cs") | (F.col("surface") == F.col("__j")))
+        )
+        .drop("__k", "__t", "__j", "tokens")
     )
 
 
@@ -229,8 +243,7 @@ def detect_mentions_df(
     lens = sorted({r["n_tokens"] for r in meta})
     first_tokens = sorted({r["ft"] for r in meta})
     base = df.withColumnRenamed(tokens_col, "tokens") if tokens_col != "tokens" else df
-    cand = _ngram_candidates(base, id_cols, lens, first_tokens)
-    matches = match_candidates(cand, thesaurus)
+    matches = _hash_matches(base, thesaurus, id_cols, lens, first_tokens)
     resolved = resolve_overlaps_df(matches, id_cols).drop("cs")
     return merge_adjacent_df(resolved, id_cols) if merge_adjacent else resolved
 
