@@ -60,6 +60,7 @@ HEADLINE = [
     "ancestor_closure",
     "chunked_mentions",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "dedup_embedding",
     "gold_conll_spans",
     "greedy_bio",
@@ -140,6 +141,7 @@ def run_pipeline_bench(spark, n_docs: int, warmup: bool = False) -> dict:
 
 
 def run_headline(spark) -> dict[str, float]:
+    from thesaurus_based_ner_spark.plans import queries_ext as _qx  # noqa: F401
     from thesaurus_based_ner_spark.plans.queries import QUERIES
 
     times: dict[str, float] = {}

@@ -83,3 +83,30 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"ANN recall too low: {recall}"
     assert len(approx) == len(exact)
+
+
+def test_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF ANN: recall >= 0.5 vs brute force; two runs identical (the
+    md5-sampled coarse quantizer and rounded-cosine argmax are fully
+    deterministic, so the operator is oracle-checkable)."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    )
+    qv = e.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in simsearch.brute_force_topk(e, qv, k=5).collect()
+    }
+    run1 = sorted(
+        tuple(r) for r in simsearch.ivf_topk(e, qv, k=5, n_cells=16, n_probe=4).collect()
+    )
+    run2 = sorted(
+        tuple(r) for r in simsearch.ivf_topk(e, qv, k=5, n_cells=16, n_probe=4).collect()
+    )
+    assert run1 == run2
+    approx = {(q_, n_) for q_, n_, _, _ in run1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"

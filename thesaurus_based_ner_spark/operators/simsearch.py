@@ -148,3 +148,73 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize vectors into
+    cells, probe only the closest cells per query, exact re-rank inside.
+
+    Deterministic coarse quantizer (no k-means iterations, no RNG): the
+    centroids are the n_cells vectors with the smallest md5(vec_id) — a
+    content-independent uniform sample reproducible in any engine, so the
+    WHOLE operator is value-checkable by a SQL oracle. Assignment and
+    probing round cosine to 6 dp with id tie-breaks, making the argmax
+    decisions engine-portable.
+
+    Scale shape (SCALE.md): centroid pick is a TakeOrderedAndProject
+    (per-partition top-C, no full sort); assignment is a broadcast
+    nested-loop over C centroids with a map-side-combinable max(struct)
+    agg — one shuffle of N pre-aggregated rows; the probe join shuffles
+    candidates only (N·n_probe/n_cells per query on average). Size
+    n_cells ≈ sqrt(N) and n_probe for the recall target.
+    """
+    cent = (
+        embeddings.withColumn("__h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("__h")
+        .limit(n_cells)
+        .select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
+    )
+    cos_c = F.round(_cos("e", "ce"), 6)
+    assigned = (
+        embeddings.join(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(cos_c.alias("c"), F.col("cent_id"))).alias("__best"),
+            F.first("e").alias("e"),
+        )
+        .select("vec_id", "e", F.col("__best.cent_id").alias("cell"))
+    )
+    qcos = F.round(_cos("qe", "ce"), 6)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__qc").desc(), F.col("cent_id").desc()
+    )
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select("query_id", "qe", F.col("cent_id"), qcos.alias("__qc"))
+        .withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "qe", F.col("cent_id").alias("cell"))
+    )
+    cands = F.broadcast(probes).join(
+        assigned,
+        (probes["cell"] == assigned["cell"])
+        & (probes["query_id"] != assigned["vec_id"]),
+    )
+    scored = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos("qe", "e"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

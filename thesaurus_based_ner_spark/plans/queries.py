@@ -1277,3 +1277,54 @@ def dedup_embedding(spark, sf_dir):
     return dedup.embedding_neardup_pairs(
         e, "vec_id", "embedding", threshold=0.4, n_bits=4, dim=64, seed=42, n_tables=2
     )
+
+
+@q(
+    "ann_ivf_topk",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (
+      SELECT vec_id AS cent_id, e AS ce
+      FROM emb ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    assigned AS (
+      SELECT vec_id, e, cell FROM (
+        SELECT v.vec_id, v.e, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v.e, c.ce), 6) DESC,
+                          c.cent_id DESC) AS rn
+        FROM emb v CROSS JOIN cent c)
+      WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qe, cell FROM (
+        SELECT q.vec_id AS query_id, q.e AS qe, c.cent_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(q.e, c.ce), 6) DESC,
+                          c.cent_id DESC) AS rn
+        FROM emb q CROSS JOIN cent c WHERE q.vec_id < 8)
+      WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(p.qe, a.e), 6) AS cos
+      FROM probes p JOIN assigned a
+        ON p.cell = a.cell AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (operators/simsearch.ivf_topk): deterministic
+    md5-sampled coarse centroids, 4-of-16 cell probe, exact re-rank.
+    Value-exact vs the DuckDB oracle replicating the same quantizer."""
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    qv = e.filter("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    return simsearch.ivf_topk(e, qv, k=5, n_cells=16, n_probe=4)
