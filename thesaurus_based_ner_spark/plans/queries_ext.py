@@ -1066,11 +1066,46 @@ def hierarchical_label_selection(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# P5: few-shot greedy sampler — deterministic, driver-side greedy walk; no
-# SQL oracle (inherently sequential), rows-only check + pytest coverage
+# P5: few-shot greedy sampler — deterministic driver-side greedy walk.
+# The walk is sequential, but with the gold label space fixed at
+# {MULTI, SINGLE} the per-step state is (remaining budgets, picked ids),
+# so the oracle expresses the SAME greedy recurrence as a DuckDB
+# recursive CTE with a LATERAL pick of the first fitting candidate in
+# (total DESC, doc_id ASC) order — value-exact, not rows-only.
 # ---------------------------------------------------------------------------
 
-@q("few_shot_docs")  # greedy sequential selection — no SQL oracle
+_FEW_SHOT_ORACLE = (
+    "WITH RECURSIVE "
+    + _run_sql(_GOLD_MASK_SQL)
+    + f""",
+    gold AS (SELECT doc_id, m_start, m_end, {_RUN_LABEL_SQL} AS label FROM runs),
+    cand AS (
+      SELECT doc_id,
+             SUM(CASE WHEN label = 'MULTI' THEN 1 ELSE 0 END) AS nm,
+             SUM(CASE WHEN label = 'SINGLE' THEN 1 ELSE 0 END) AS ns,
+             COUNT(*) AS tot
+      FROM gold GROUP BY doc_id HAVING COUNT(*) > 0
+    ),
+    sel(step, doc_id, rem_m, rem_s, picked) AS (
+      SELECT 0, CAST(NULL AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+             CAST([] AS BIGINT[])
+      UNION ALL
+      SELECT sel.step + 1, nxt.doc_id, sel.rem_m - nxt.nm, sel.rem_s - nxt.ns,
+             list_append(sel.picked, nxt.doc_id)
+      FROM sel, LATERAL (
+        SELECT c.doc_id, c.nm, c.ns FROM cand c
+        WHERE NOT list_contains(sel.picked, c.doc_id)
+          AND c.nm <= sel.rem_m AND c.ns <= sel.rem_s
+        ORDER BY c.tot DESC, c.doc_id ASC LIMIT 1
+      ) nxt
+      WHERE sel.rem_m > 0 OR sel.rem_s > 0
+    )
+    SELECT doc_id FROM sel WHERE doc_id IS NOT NULL
+"""
+)
+
+
+@q("few_shot_docs", oracle=_FEW_SHOT_ORACLE)
 def few_shot_docs(spark, sf_dir):
     spans = _gold_spans(spark, sf_dir)
     picked = sampling.few_shot_sample(spans, ["doc_id"], sample_num=5)
