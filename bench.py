@@ -65,6 +65,7 @@ HEADLINE = [
     "gold_conll_spans",
     "greedy_bio",
     "multimodal_features",
+    "multimodal_frame_resize",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))

@@ -60,3 +60,31 @@ def test_multimodal_real_decoder_is_stubbed(spark):
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_resize_plan_and_frame_sampling(spark):
+    """resize_plan preserves aspect (integer div, bounded by targets);
+    sample_frames yields distinct evenly-spaced indices < n_frames."""
+    from thesaurus_based_ner_spark.operators.multimodal import (
+        decode_and_featurize,
+        resize_plan,
+        sample_frames,
+        synth_media,
+    )
+
+    feats = decode_and_featurize(synth_media(spark, 48), fake=True)
+    sized = resize_plan(feats, 32, 24)
+    for r in sized.collect():
+        assert r["new_w"] <= 32 and r["new_h"] <= 24
+        assert r["new_w"] == 32 or r["new_h"] == 24  # one side hits target
+    frames = sample_frames(sized, 4).collect()
+    assert frames, "no video rows sampled"
+    by_media = {}
+    for r in frames:
+        assert r["kind"] == "video"
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    nf = {r["media_id"]: r["n_frames"] for r in sized.collect()}
+    for mid, idxs in by_media.items():
+        assert len(idxs) == len(set(idxs))
+        assert all(0 <= i < nf[mid] for i in idxs)
+        assert len(idxs) == min(4, nf[mid])

@@ -107,3 +107,52 @@ def synth_media(spark, n_rows: int = 64) -> DataFrame:
         kind = ["image", "audio", "video"][i % 3]
         rows.append((i, kind, payload, f"application/x-fake-{kind}", "{}"))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def resize_plan(
+    features: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Aspect-preserving resize GEOMETRY (new_w, new_h ≤ targets).
+
+    Pure integer arithmetic, entirely JVM-side: the resize *plan* (what
+    every downstream stage needs for batching/layout decisions) never
+    requires touching pixels. The pixel kernel itself is codec work —
+    stubbed in this container like decode (see module docstring); a real
+    deployment maps the planned geometry over mapInPandas with the codec.
+    Integer `div` keeps the math bit-identical across engines for the
+    SQL oracle.
+    """
+    land = F.col("width") * target_h >= F.col("height") * target_w
+    new_w = F.when(land, F.lit(target_w)).otherwise(
+        F.expr(f"(width * {target_h}) div height")
+    )
+    new_h = F.when(land, F.expr(f"(height * {target_w}) div width")).otherwise(
+        F.lit(target_h)
+    )
+    return features.withColumn("new_w", new_w.cast("int")).withColumn(
+        "new_h", new_h.cast("int")
+    )
+
+
+def sample_frames(features: DataFrame, n_samples: int) -> DataFrame:
+    """Evenly-spaced deterministic frame indices for video rows.
+
+    frame_idx = (i * n_frames) div n_samples for i in 0..n_samples-1,
+    deduplicated (short videos yield fewer distinct frames). A broadcast
+    cross join with a tiny index range + integer div — no Python, no HOF
+    lambdas, engine-portable. Frame EXTRACTION at those indices is codec
+    work (stubbed); this operator is the planning/fan-out stage every
+    video pipeline needs before the decode kernel.
+    """
+    spark = features.sparkSession
+    idx = spark.range(n_samples).withColumnRenamed("id", "__i")
+    return (
+        features.filter(F.col("kind") == "video")
+        .crossJoin(F.broadcast(idx))
+        .withColumn(
+            "frame_idx",
+            F.expr(f"(__i * n_frames) div {n_samples}").cast("int"),
+        )
+        .drop("__i")
+        .dropDuplicates(["media_id", "frame_idx"])
+    )

@@ -1191,3 +1191,59 @@ def multimodal_features(spark, sf_dir):
         "n_frames",
         head.alias("feat_head_bytes"),
     )
+
+
+@q(
+    "multimodal_frame_resize",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text, sha256(text) AS h
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    geo AS (
+      SELECT media_id,
+             CAST(16 + {_byte_sql(0)} % 64 AS INT) AS width,
+             CAST(16 + {_byte_sql(1)} % 64 AS INT) AS height,
+             CAST(1 + {_byte_sql(2)} % 8 AS INT) AS n_frames
+      FROM media
+    ),
+    sized AS (
+      SELECT media_id, n_frames,
+        CASE WHEN width * 24 >= height * 32
+             THEN 32 ELSE (width * 24) // height END AS new_w,
+        CASE WHEN width * 24 >= height * 32
+             THEN (height * 32) // width ELSE 24 END AS new_h
+      FROM geo
+    )
+    SELECT DISTINCT media_id, CAST(new_w AS INT) AS new_w,
+           CAST(new_h AS INT) AS new_h,
+           CAST((i * n_frames) // 4 AS INT) AS frame_idx
+    FROM sized CROSS JOIN (SELECT unnest(range(4)) AS i)
+    """,
+)
+def multimodal_frame_resize(spark, sf_dir):
+    """Video branch of the multimodal pipeline: decode (fake codec) →
+    aspect-preserving resize plan (32×24) → 4-frame even sampling.
+    Geometry + frame fan-out are pure JVM integer arithmetic
+    (operators/multimodal.resize_plan / sample_frames); only the pixel
+    kernels are codec-stubbed."""
+    from thesaurus_based_ner_spark.operators.multimodal import (
+        decode_and_featurize,
+        resize_plan,
+        sample_frames,
+    )
+
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit("{}").alias("meta"),
+    )
+    feats = decode_and_featurize(media, fake=True).filter(F.col("kind") == "video")
+    frames = sample_frames(resize_plan(feats, 32, 24), 4)
+    return frames.select("media_id", "new_w", "new_h", "frame_idx")
