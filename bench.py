@@ -44,10 +44,12 @@ HEADLINE = [
     "salted_segment_revenue",
     "hourly_event_rollup",
     "mention_spans",
+    "mention_spans_trie",
     "mention_label_counts",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "cosine_topk",
     "lang_id",

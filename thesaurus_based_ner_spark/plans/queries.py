@@ -24,6 +24,7 @@ from thesaurus_based_ner_spark.functions.text import TOKEN_RE
 from thesaurus_based_ner_spark.operators import dedup, graph, textstats
 from thesaurus_based_ner_spark.operators.mentions import (
     detect_mentions_df,
+    detect_mentions_trie,
     merge_adjacent_df,
     resolve_overlaps_df,
     thesaurus_with_case,
@@ -1328,3 +1329,60 @@ def ann_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     return simsearch.ivf_topk(e, qv, k=5, n_cells=16, n_probe=4)
+
+
+@q(
+    "mention_spans_trie",
+    oracle=_MENTION_CTE
+    + "SELECT doc_id, m_start, m_end, surface, label FROM mentions",
+)
+def mention_spans_trie(spark, sf_dir):
+    """The Arrow-batched trie strategy (the north star's named physical
+    shape: per-batch pandas-on-Arrow, broadcast token trie) under the SAME
+    value-exact oracle as the pure-DataFrame strategy — the two plans are
+    interchangeable by contract (operators/mentions.py docstring)."""
+    docs = spread(T(spark, sf_dir, "documents").filter(F.col("lang") == "en"))
+    snts = tokenize_df(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "tokens"
+    )
+    return detect_mentions_trie(snts, dict(DOC_THESAURUS), ["doc_id"]).select(
+        "doc_id", "m_start", "m_end", "surface", "label"
+    )
+
+
+@q(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_SQL}),
+    sym AS (
+      SELECT a_id AS u, b_id AS v FROM pairs
+      UNION SELECT b_id, a_id FROM pairs
+    ),
+    reach(u, lbl) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.v, r.lbl FROM reach r JOIN sym s ON r.u = s.u
+    )
+    SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """End-to-end dedup: MinHash-LSH candidate pairs (verified exact, so
+    the pair set equals the exact-Jaccard oracle's) → large-star/small-star
+    connected components → (doc_id, cluster = min doc_id in component).
+    The composition a 100 TB dedup actually ships: bucketed candidate
+    generation, candidate-only verification, O(log n)-round clustering."""
+    d = spread(T(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, n_hashes=32, bands=16, threshold=0.5
+    )
+    edges = pairs.select(
+        F.col("a_id").cast("bigint").alias("a"),
+        F.col("b_id").cast("bigint").alias("b"),
+    )
+    cc = graph.connected_components_twostar(edges)
+    return cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster"),
+    )
