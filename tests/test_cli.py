@@ -1,0 +1,32 @@
+"""CLI entrypoint (spark-submit ship path)."""
+
+import json
+
+from thesaurus_based_ner_spark.cli import build_parser, main
+
+
+def test_parser_wiring():
+    p = build_parser()
+    a = p.parse_args(["pipeline", "--output", "/tmp/x", "--strategy", "trie"])
+    assert a.cmd == "pipeline" and a.strategy == "trie" and a.checkpoint == "minimal"
+    a = p.parse_args(["query", "--name", "mention_spans", "--sf-dir", "/d"])
+    assert a.cmd == "query"
+
+
+def test_cli_pipeline_and_query(spark, tmp_path, capsys):
+    root = str(tmp_path / "catalog")
+    rc = main(["pipeline", "--output", root, "--synth-docs", "300",
+               "--fingerprint", "cli-test"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["triples"] > 0
+    assert "match" in out["stages"] and "materialize" in out["stages"]
+
+    rc = main(["query", "--name", "lang_id", "--sf-dir", "/root/testdata/sf0.001",
+               "--output", str(tmp_path / "q_out")])
+    assert rc == 0
+    q = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert q["rows"] > 0
+
+    rc = main(["query", "--name", "no_such_query", "--sf-dir", "/d"])
+    assert rc == 2
