@@ -71,10 +71,13 @@ def oracle_triples() -> set:
 
 
 def test_triple_parity_vs_oracle(triples):
+    # mention-level triples only: entity-level rdf:type (weighted-argmax
+    # types, SURVEY §7) are covered by test_entity_type_triples below
     got = {
         (r.subj, r.pred, r.obj)
         for r in triples.filter(
             F.col("pred").isin("rdf:type", "anchorOf", "mentionedIn")
+            & F.col("subj").startswith("https://")
         ).collect()
     }
     want = oracle_triples()
@@ -94,6 +97,18 @@ def test_linked_and_canonical_triples_exist(triples):
     # redirect chain ent_America → ent_US → ent_USA must canonicalize together
     alt = triples.filter(F.col("pred") == "skos:altLabel")
     assert alt.count() > 0
+
+
+def test_entity_type_triples(triples):
+    """Entity-level (entity, rdf:type, category) triples: weighted argmax
+    over linked-mention labels with tie-skip (W4) — every typed entity has
+    exactly ONE type, and subjects are entity ids, not mention ids."""
+    ents = triples.filter(
+        (F.col("pred") == "rdf:type") & ~F.col("subj").startswith("https://")
+    ).collect()
+    assert ents, "no entity-type triples emitted"
+    subjects = [r.subj for r in ents]
+    assert len(subjects) == len(set(subjects)), "tie-skip violated: dup types"
 
 
 def test_extraction_byte_identity_counter(spark):

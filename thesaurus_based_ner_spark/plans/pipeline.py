@@ -22,7 +22,7 @@ from __future__ import annotations
 import hashlib
 import json
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from thesaurus_based_ner_spark.functions.text import SENT_SPLIT_RE, extract_text
 from thesaurus_based_ner_spark.operators.canonicalize import (
@@ -115,13 +115,37 @@ def triple_stage(
         F.lit("mentionedIn").alias("pred"),
         F.col("url").alias("obj"),
     )
-    link_canon = (
-        m.filter(F.col("entity").isNotNull())
-        .join(F.broadcast(canon), "entity", "left")
+    linked_canon = m.filter(F.col("entity").isNotNull()).join(
+        F.broadcast(canon), "entity", "left"
+    )
+    link_canon = linked_canon.select(
+        F.col("mention_id").alias("subj"),
+        F.lit("linkedTo").alias("pred"),
+        F.coalesce("canonical", "entity").alias("obj"),
+    )
+    # (entity, rdf:type, category) — SURVEY §7 output model: weighted
+    # argmax of linked-mention labels per canonical entity with the
+    # reference's tie-SKIP semantics (W4, term2cat.py:135-163): an entity
+    # whose top two label counts tie gets NO type triple. One shuffle on
+    # (entity, label) — entity-dim sized after partial aggregation.
+    per_label = (
+        linked_canon.filter(~F.col("label").startswith("nc-"))
+        .withColumn("ent", F.coalesce("canonical", "entity"))
+        .groupBy("ent", "label")
+        .agg(F.count("*").alias("__n"))
+    )
+    w_ent = Window.partitionBy("ent")
+    entity_types = (
+        per_label.withColumn("__mx", F.max("__n").over(w_ent))
+        .withColumn(
+            "__nmx",
+            F.sum(F.when(F.col("__n") == F.col("__mx"), 1).otherwise(0)).over(w_ent),
+        )
+        .filter((F.col("__n") == F.col("__mx")) & (F.col("__nmx") == 1))
         .select(
-            F.col("mention_id").alias("subj"),
-            F.lit("linkedTo").alias("pred"),
-            F.coalesce("canonical", "entity").alias("obj"),
+            F.col("ent").alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.col("label").alias("obj"),
         )
     )
     alt = alt_labels(anchor, canon).select(
@@ -133,6 +157,7 @@ def triple_stage(
         typed.unionByName(anchor_of)
         .unionByName(mentioned_in)
         .unionByName(link_canon)
+        .unionByName(entity_types)
         .unionByName(alt)
     )
 
