@@ -349,11 +349,8 @@ def embedding_neardup_pairs(
         buckets = b if buckets is None else buckets.unionByName(b)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    na = F.aggregate("ea", F.lit(0.0), lambda acc, x: acc + x * x)
-    nb = F.aggregate("eb", F.lit(0.0), lambda acc, x: acc + x * x)
+    from thesaurus_based_ner_spark.operators.simsearch import _cos
+
     cands = (
         a.join(
             b,
@@ -370,7 +367,7 @@ def embedding_neardup_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     return (
-        cands.withColumn("cos", F.round(dot / F.sqrt(na * nb), 6))
+        cands.withColumn("cos", F.round(_cos("ea", "eb", dim), 6))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
     )

@@ -18,7 +18,26 @@ import hashlib
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _cos(a: str, b: str):
+def _cos(a: str, b: str, dim: int | None = None):
+    """Cosine similarity between two array<double> columns.
+
+    With `dim` given, the dot/norm sums are UNROLLED into plain codegen
+    arithmetic — higher-order-function lambdas run interpreted (SCALE.md)
+    and dominated every embedding operator. The unrolled chain is
+    left-associated exactly like the fold, so the IEEE-754 result is
+    bit-identical to the HOF form and to DuckDB's sequential list ops —
+    oracle parity is preserved. Falls back to the HOF form for unknown
+    dims.
+    """
+    if dim is not None:
+        dot, na, nb = F.lit(0.0), F.lit(0.0), F.lit(0.0)
+        for i in range(dim):
+            x = F.col(a).getItem(i)
+            y = F.col(b).getItem(i)
+            dot = dot + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return dot / F.sqrt(na * nb)
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -28,7 +47,7 @@ def _cos(a: str, b: str):
 
 
 def brute_force_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5
+    embeddings: DataFrame, queries: DataFrame, k: int = 5, dim: int | None = 64
 ) -> DataFrame:
     """queries (query_id, qe) × embeddings (vec_id, e) → top-k by cosine."""
     sims = F.broadcast(queries).join(
@@ -37,7 +56,7 @@ def brute_force_topk(
     scored = sims.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_cos("qe", "e"), 6).alias("cos"),
+        F.round(_cos("qe", "e", dim), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -139,7 +158,7 @@ def lsh_topk(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_cos("qe", "e"), 6).alias("cos"),
+        F.round(_cos("qe", "e", dim), 6).alias("cos"),
     ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -156,6 +175,7 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize vectors into
     cells, probe only the closest cells per query, exact re-rank inside.
@@ -180,7 +200,7 @@ def ivf_topk(
         .limit(n_cells)
         .select(F.col("vec_id").alias("cent_id"), F.col("e").alias("ce"))
     )
-    cos_c = F.round(_cos("e", "ce"), 6)
+    cos_c = F.round(_cos("e", "ce", dim), 6)
     assigned = (
         embeddings.join(F.broadcast(cent))
         .groupBy("vec_id")
@@ -190,7 +210,7 @@ def ivf_topk(
         )
         .select("vec_id", "e", F.col("__best.cent_id").alias("cell"))
     )
-    qcos = F.round(_cos("qe", "ce"), 6)
+    qcos = F.round(_cos("qe", "ce", dim), 6)
     wq = Window.partitionBy("query_id").orderBy(
         F.col("__qc").desc(), F.col("cent_id").desc()
     )
@@ -209,7 +229,7 @@ def ivf_topk(
     scored = cands.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_cos("qe", "e"), 6).alias("cos"),
+        F.round(_cos("qe", "e", dim), 6).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
