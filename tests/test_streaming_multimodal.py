@@ -88,3 +88,41 @@ def test_resize_plan_and_frame_sampling(spark):
         assert len(idxs) == len(set(idxs))
         assert all(0 <= i < nf[mid] for i in idxs)
         assert len(idxs) == min(4, nf[mid])
+
+
+def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
+    """Stateful cross-batch dedup: a text seen in batch 1 is suppressed in
+    batch 2 (state persisted in the checkpoint); within-batch duplicates
+    collapse to the min doc_id."""
+    from pyspark.sql import types as T
+
+    from thesaurus_based_ner_spark.streaming.ingest import (
+        streaming_dedup_first_seen,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+    docs_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "deduped")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    b1 = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha")], schema
+    )
+    b1.write.mode("append").parquet(docs_dir)
+    streaming_dedup_first_seen(spark, docs_dir, out_dir, ckpt, schema)
+    r1 = {(r["__h"], r["doc_id"]) for r in spark.read.parquet(out_dir).collect()}
+    assert len(r1) == 2  # alpha (doc 0), beta (doc 1)
+    assert {d for _, d in r1} == {0, 1}
+
+    b2 = spark.createDataFrame(
+        [(3, "alpha"), (4, "gamma"), (5, "beta")], schema
+    )
+    b2.write.mode("append").parquet(docs_dir)
+    streaming_dedup_first_seen(spark, docs_dir, out_dir, ckpt, schema)
+    r2 = {(r["__h"], r["doc_id"]) for r in spark.read.parquet(out_dir).collect()}
+    # only gamma is new; alpha/beta suppressed by state
+    assert {d for _, d in r2} == {0, 1, 4}

@@ -73,3 +73,67 @@ def windowed_event_counts_stream(
             "n",
         )
     )
+
+
+def streaming_dedup_first_seen(
+    spark: SparkSession,
+    docs_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Cross-micro-batch exact dedup via applyInPandasWithState.
+
+    Streaming counterpart of operators/dedup.exact_duplicates: the state
+    store holds one entry per content hash (sharded by key across
+    executors — the standard scale shape for streaming dedup over an
+    unbounded crawl); the FIRST document with a given md5(text) is
+    emitted, every later arrival — same batch or any later batch — is
+    dropped. Restart-safe: state lives in the checkpoint. Unlike
+    dropDuplicates-with-watermark this never expires state, which is the
+    correct semantics for permanent crawl dedup (state size = number of
+    distinct documents; at 10^12 docs shard the state store or swap the
+    value for a Bloom page per key prefix).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    docs = (
+        spark.readStream.schema(schema)
+        .parquet(docs_dir)
+        .withColumn("__h", F.md5(F.col(text_col)))
+    )
+    out_type = f"__h string, {id_col} bigint"
+
+    def first_seen(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            for _ in pdfs:  # drain; already emitted for this hash
+                pass
+            return
+        first_id = None
+        for pdf in pdfs:
+            if len(pdf) and first_id is None:
+                pdf = pdf.sort_values(id_col)
+                first_id = int(pdf[id_col].iloc[0])
+        if first_id is not None:
+            state.update((1,))
+            yield pd.DataFrame({"__h": [key[0]], id_col: [first_id]})
+
+    deduped = docs.groupBy("__h").applyInPandasWithState(
+        first_seen,
+        outputStructType=out_type,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
