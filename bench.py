@@ -56,6 +56,7 @@ HEADLINE = [
     "quality_score",
     "token_counts",
     "fingerprint",
+    "winnow_fingerprints",
     "link_candidates_topk",
     "canonical_components",
     "redirect_fixpoint",

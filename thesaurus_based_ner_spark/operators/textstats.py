@@ -5,7 +5,7 @@ each mirrorable in ANSI SQL for DuckDB oracle checks.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from thesaurus_based_ner_spark.functions.text import TOKEN_RE
 
@@ -115,3 +115,51 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.array_min(F.transform(F.array_distinct(toks), F.md5)).alias("min_tok_md5"),
         F.array_max(F.transform(F.array_distinct(toks), F.md5)).alias("max_tok_md5"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, window: int = 4
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer et al. 2003): rolling k-gram hashes,
+    one fingerprint selected per sliding window of `window` consecutive
+    grams (the minimum hash, rightmost on ties), deduplicated.
+
+    Guarantee: any two documents sharing a token run of length
+    ≥ window + k - 1 share at least one selected fingerprint — the
+    document-fingerprint primitive for plagiarism/near-dup detection at
+    corpus scale. Gram hash = md5 of the space-joined gram so a SQL oracle
+    reproduces selection bit-exactly; all ops are window functions over
+    doc-partitioned rows (one doc-keyed shuffle, no Python).
+
+    Returns (id, pos, fp): selected gram position + its md5 fingerprint.
+    """
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+    )
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("p", "tok")
+    )
+    w0 = Window.partitionBy("id").orderBy("p")
+    gram = F.concat_ws(
+        " ", *[F.lead("tok", j).over(w0) for j in range(k)]
+    )
+    g = (
+        pos.withColumn("__last", F.lead("tok", k - 1).over(w0))
+        .withColumn("gh", F.md5(gram))
+        .filter(F.col("__last").isNotNull())
+    )
+    wf = w0.rowsBetween(0, window - 1)
+    sel = (
+        g.withColumn(
+            "__m", F.min(F.struct(F.col("gh"), (-F.col("p")).alias("np"))).over(wf)
+        )
+        .withColumn("__c", F.count("gh").over(wf))
+        .filter(F.col("__c") == window)
+        .select(
+            "id",
+            (-F.col("__m.np")).cast("bigint").alias("pos"),
+            F.col("__m.gh").alias("fp"),
+        )
+        .distinct()
+    )
+    return sel

@@ -1386,3 +1386,39 @@ def dedup_clusters(spark, sf_dir):
         F.col("node").cast("bigint").alias("doc_id"),
         F.col("component").cast("bigint").alias("cluster"),
     )
+
+
+@q(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM docs),
+    g AS (
+      SELECT doc_id, p - 1 AS p0,
+             md5(array_to_string(toks[p : p + 2], ' ')) AS gh
+      FROM pos WHERE p + 2 <= len(toks)
+    ),
+    sel AS (
+      SELECT doc_id,
+        MIN(struct_pack(gh := gh, np := -p0)) OVER (
+          PARTITION BY doc_id ORDER BY p0
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        COUNT(*) OVER (
+          PARTITION BY doc_id ORDER BY p0
+          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+      FROM g
+    )
+    SELECT DISTINCT CAST(doc_id AS BIGINT) AS id,
+           CAST(-(m).np AS BIGINT) AS pos, (m).gh AS fp
+    FROM sel WHERE c = 4
+    """,
+)
+def winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=3 token grams, window=4): the
+    rolling-hash document-fingerprint primitive; selection reproduced
+    bit-exactly by the struct-argmin window oracle."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return textstats.winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
