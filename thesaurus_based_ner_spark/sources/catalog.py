@@ -198,3 +198,27 @@ class Catalog:
         p = self._meta_path(name)
         if os.path.exists(p):
             os.remove(p)
+
+
+def write_bucketed(
+    spark,
+    df,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort: bool = True,
+) -> None:
+    """Materialize a bucketed managed table for co-located joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with ZERO exchanges (pytest-asserted in tests/test_bucketed_join.py)
+    — the pre-partitioning pattern for repeated big-big joins (e.g.
+    mentions ⋈ candidates on surface at corpus scale, where neither side
+    broadcasts). On Iceberg this is the bucket(N, col) partition
+    transform; in the local warehouse it is Spark native bucketing.
+    sortBy additionally enables sort-merge without a per-task sort.
+    """
+    w = df.write.bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.mode("overwrite").saveAsTable(table)
