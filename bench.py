@@ -57,6 +57,9 @@ HEADLINE = [
     "token_counts",
     "fingerprint",
     "winnow_fingerprints",
+    "boilerplate_sentences",
+    "clean_boilerplate",
+    "boilerplate_phrases",
     "link_candidates_topk",
     "canonical_components",
     "redirect_fixpoint",

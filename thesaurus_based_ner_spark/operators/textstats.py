@@ -163,3 +163,90 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+_SENT_SEP = "\x1e"
+# engine-portable sentence boundary: lookbehind isn't RE2-compatible, so
+# mark boundaries with a capture-replace then split — identical boundaries
+# to functions/text.SENT_SPLIT_RE on both Spark (Java regex) and DuckDB.
+_SENT_MARK_RE = r"([.!?])\s+"
+
+
+def _sentences(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    marked = F.regexp_replace(F.col(text_col), _SENT_MARK_RE, "$1" + _SENT_SEP)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(marked, _SENT_SEP)).alias("sid", "snt"),
+        )
+        .withColumn("snt", F.trim("snt"))
+        .filter(F.length("snt") > 0)
+    )
+
+
+def boilerplate_sentences(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 3
+) -> DataFrame:
+    """C4-style boilerplate detection: sentences that occur in ≥ min_docs
+    DISTINCT documents (navigation chrome, disclaimers, license blurbs).
+    One shuffle on the sentence string with map-side partial aggregation;
+    at corpus scale group on md5(snt) instead to bound key width.
+    Returns (snt, n_docs)."""
+    return (
+        _sentences(df, id_col, text_col)
+        .groupBy("snt")
+        .agg(F.countDistinct("id").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 3
+) -> DataFrame:
+    """Drop boilerplate sentences from every document (the C4 cleaning
+    step): sentences in ≥ min_docs docs are anti-joined away (broadcast —
+    the boilerplate set is tiny relative to the corpus) and each document
+    is reassembled in sentence order. Returns (id, clean_text)."""
+    snts = _sentences(df, id_col, text_col)
+    boiler = boilerplate_sentences(df, id_col, text_col, min_docs).select("snt")
+    kept = snts.join(F.broadcast(boiler), "snt", "left_anti")
+    return kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sid", "snt"))),
+                lambda s: s["snt"],
+            ),
+            " ",
+        ).alias("clean_text")
+    )
+
+
+def boilerplate_phrases(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 3
+) -> DataFrame:
+    """Repeated-phrase boilerplate: token n-grams occurring in ≥ min_docs
+    DISTINCT documents — the finer-grained sibling of sentence-level
+    boilerplate for corpora whose chrome isn't sentence-aligned. N-grams
+    stream map-side off a posexplode + lead window (doc-keyed), then one
+    shuffle on the phrase with partial aggregation; at corpus scale group
+    on xxhash64(phrase) to bound shuffle key width.
+    Returns (phrase, n_docs)."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("p", "tok")
+    )
+    w0 = Window.partitionBy("id").orderBy("p")
+    phrase = F.concat_ws(" ", *[F.lead("tok", j).over(w0) for j in range(n)])
+    # phrase and the validity guard MUST share one projection: a filter
+    # between them would re-evaluate the leads over the filtered rows and
+    # silently shorten phrases at partition ends (concat_ws skips nulls)
+    g = pos.select(
+        "id",
+        phrase.alias("phrase"),
+        F.lead("tok", n - 1).over(w0).alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    return (
+        g.groupBy("phrase")
+        .agg(F.countDistinct("id").cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )

@@ -1422,3 +1422,77 @@ def winnow_fingerprints(spark, sf_dir):
     bit-exactly by the struct-argmin window oracle."""
     d = spread(T(spark, sf_dir, "documents"))
     return textstats.winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+
+
+_SENT_CTE = """
+    snts AS (
+      SELECT doc_id AS id, sid, TRIM(snt) AS snt FROM (
+        SELECT doc_id,
+               unnest(str_split(regexp_replace(text, '([.!?])\\s+',
+                      '\\1' || chr(30), 'g'), chr(30))) AS snt,
+               generate_subscripts(str_split(regexp_replace(text,
+                      '([.!?])\\s+', '\\1' || chr(30), 'g'), chr(30)), 1)
+                 AS sid
+        FROM documents)
+      WHERE LENGTH(TRIM(snt)) > 0
+    )
+"""
+
+
+@q(
+    "boilerplate_sentences",
+    oracle="WITH " + _SENT_CTE + """
+    SELECT snt, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+    FROM snts GROUP BY snt HAVING COUNT(DISTINCT id) >= 3
+    """,
+)
+def boilerplate_sentences(spark, sf_dir):
+    """C4-style boilerplate sentence detection over the documents table."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return textstats.boilerplate_sentences(d, "doc_id", "text", min_docs=3)
+
+
+@q(
+    "clean_boilerplate",
+    oracle="WITH " + _SENT_CTE + """,
+    boiler AS (SELECT snt FROM snts GROUP BY snt
+               HAVING COUNT(DISTINCT id) >= 3),
+    kept AS (SELECT * FROM snts WHERE snt NOT IN (SELECT snt FROM boiler))
+    SELECT CAST(id AS BIGINT) AS id,
+           md5(string_agg(snt, ' ' ORDER BY sid)) AS clean_md5
+    FROM kept GROUP BY id
+    """,
+)
+def clean_boilerplate(spark, sf_dir):
+    """Documents with boilerplate sentences removed, value-checked via the
+    md5 of the reassembled clean text."""
+    d = spread(T(spark, sf_dir, "documents"))
+    out = textstats.remove_boilerplate(d, "doc_id", "text", min_docs=3)
+    return out.select(
+        F.col("id").cast("bigint").alias("id"),
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+@q(
+    "boilerplate_phrases",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, array_to_string(toks[p : p + 4], ' ') AS phrase
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+            FROM docs)
+    )
+    SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM g GROUP BY phrase HAVING COUNT(DISTINCT doc_id) >= 3
+    """,
+)
+def boilerplate_phrases(spark, sf_dir):
+    """Repeated 5-gram phrases across >= 3 docs (C4-style boilerplate at
+    phrase granularity — non-trivial on this corpus, unlike full-sentence
+    repeats)."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return textstats.boilerplate_phrases(d, "doc_id", "text", n=5, min_docs=3)
