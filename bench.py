@@ -60,6 +60,8 @@ HEADLINE = [
     "boilerplate_sentences",
     "clean_boilerplate",
     "boilerplate_phrases",
+    "repetition_stats",
+    "quality_filter",
     "link_candidates_topk",
     "canonical_components",
     "redirect_fixpoint",

@@ -221,6 +221,92 @@ def remove_boilerplate(
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition features (Rae et al. 2021 §A1.1): per
+    document, the fraction of token n-gram occurrences claimed by the
+    single most frequent n-gram and by all n-grams occurring more than
+    once. High values flag machine-generated / templated pages that slip
+    past length- and punctuation-based quality scores.
+
+    Plan: n-grams stream off a doc-keyed posexplode + lead window, then
+    groupBy (id, gram) and a final groupBy id — the per-doc shuffles are
+    mention-sized, map-side partially aggregated, no Python. Returns
+    (id, n_grams, top_ngram_frac, dup_ngram_frac).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("p", "tok")
+    )
+    w0 = Window.partitionBy("id").orderBy("p")
+    gram = F.concat_ws(" ", *[F.lead("tok", j).over(w0) for j in range(n)])
+    # gram and the validity guard share one projection (see
+    # boilerplate_phrases: a filter in between would shorten edge grams)
+    g = pos.select(
+        "id",
+        gram.alias("gram"),
+        F.lead("tok", n - 1).over(w0).alias("__last"),
+    ).filter(F.col("__last").isNotNull())
+    per_gram = g.groupBy("id", "gram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_ngram_frac"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)) / F.sum("c"), 6
+        ).alias("dup_ngram_frac"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 20,
+    max_top_bigram_frac: float = 0.10,
+    max_dup_bigram_frac: float = 0.90,
+    min_distinct_frac: float = 0.20,
+) -> DataFrame:
+    """Combined keep/drop decision per document à la Gopher rules: long
+    enough, not dominated by one bigram, not mostly repeated bigrams, and
+    a healthy distinct-token ratio. Emits the document id, each rule bit,
+    and `keep` = AND of all rules, so downstream filters stay explainable.
+
+    Both inputs are per-doc aggregates over the same exploded token
+    stream; the join is doc-keyed (co-partitioned after the aggs).
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
+    tok_stats = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))).alias(
+            "__distinct_frac"
+        ),
+    )
+    rep = repetition_stats(df, id_col, text_col, n=2)
+    joined = tok_stats.join(rep, "id", "left")
+    return joined.select(
+        "id",
+        "n_tokens",
+        (F.col("n_tokens") >= min_tokens).alias("len_ok"),
+        F.coalesce(F.col("top_ngram_frac") <= max_top_bigram_frac, F.lit(True)).alias(
+            "top_bigram_ok"
+        ),
+        F.coalesce(F.col("dup_ngram_frac") <= max_dup_bigram_frac, F.lit(True)).alias(
+            "dup_bigram_ok"
+        ),
+        (F.col("__distinct_frac") >= min_distinct_frac).alias("distinct_ok"),
+    ).select(
+        "*",
+        (
+            F.col("len_ok")
+            & F.col("top_bigram_ok")
+            & F.col("dup_bigram_ok")
+            & F.col("distinct_ok")
+        ).alias("keep"),
+    )
+
+
 def boilerplate_phrases(
     df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 3
 ) -> DataFrame:

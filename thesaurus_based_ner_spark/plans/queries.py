@@ -1474,6 +1474,64 @@ def clean_boilerplate(spark, sf_dir):
     )
 
 
+_REP_CTE = f"""
+    rdocs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents
+    ),
+    rg AS (
+      SELECT doc_id, array_to_string(toks[p : p + 1], ' ') AS gram
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS p FROM rdocs)
+    ),
+    rpg AS (SELECT doc_id, gram, COUNT(*) AS c FROM rg GROUP BY doc_id, gram),
+    rep AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+             ROUND(MAX(c) * 1.0 / SUM(c), 6) AS top_ngram_frac,
+             ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+               AS dup_ngram_frac
+      FROM rpg GROUP BY doc_id
+    )
+"""
+
+
+@q(
+    "repetition_stats",
+    oracle="WITH " + _REP_CTE + """
+    SELECT doc_id AS id, n_grams, top_ngram_frac, dup_ngram_frac FROM rep
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style bigram repetition fractions per document."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return textstats.repetition_stats(d, "doc_id", "text", n=2)
+
+
+@q(
+    "quality_filter",
+    oracle="WITH " + _REP_CTE + """,
+    tok AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             len(list_distinct(toks)) * 1.0 / GREATEST(len(toks), 1)
+               AS distinct_frac
+      FROM rdocs
+    )
+    SELECT t.doc_id AS id, t.n_tokens,
+           t.n_tokens >= 20 AS len_ok,
+           COALESCE(r.top_ngram_frac <= 0.10, TRUE) AS top_bigram_ok,
+           COALESCE(r.dup_ngram_frac <= 0.90, TRUE) AS dup_bigram_ok,
+           t.distinct_frac >= 0.20 AS distinct_ok,
+           (t.n_tokens >= 20 AND COALESCE(r.top_ngram_frac <= 0.10, TRUE)
+            AND COALESCE(r.dup_ngram_frac <= 0.90, TRUE)
+            AND t.distinct_frac >= 0.20) AS keep
+    FROM tok t LEFT JOIN rep r USING (doc_id)
+    """,
+)
+def quality_filter(spark, sf_dir):
+    """Combined Gopher-rule keep/drop decision with per-rule bits."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return textstats.quality_filter(d, "doc_id", "text")
+
+
 @q(
     "boilerplate_phrases",
     oracle=f"""
