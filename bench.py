@@ -64,6 +64,7 @@ HEADLINE = [
     "quality_filter",
     "link_candidates_topk",
     "canonical_components",
+    "entity_pagerank",
     "redirect_fixpoint",
     "ancestor_closure",
     "chunked_mentions",

@@ -51,3 +51,45 @@ def test_twostar_handles_duplicate_and_reversed_edges(spark):
     e = _edges(spark, [(1, 2), (2, 1), (1, 2), (3, 2), (5, 4)])
     out = _result(connected_components_twostar(e))
     assert out == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)}
+
+
+def test_pagerank_matches_dense_power_iteration(spark):
+    # independent oracle: dense numpy power iteration with the same
+    # dangling-redistribution formula, same iteration count
+    import numpy as np
+
+    from thesaurus_based_ner_spark.operators.graph import pagerank
+
+    pairs = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (4, 4)]
+    e = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('n{a}', 'n{b}')" for a, b in pairs)
+        + " AS t(src, dst)"
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iters=5, damping=0.85).collect()
+    }
+
+    nodes = sorted({x for p in pairs for x in p})
+    n = len(nodes)
+    idx = {v: i for i, v in enumerate(nodes)}
+    out = {v: [] for v in nodes}
+    for a, b in set(pairs):
+        out[a].append(b)
+    r = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(5):
+        nxt = np.zeros(n)
+        dmass = 0.0
+        for v in nodes:
+            if out[v]:
+                for w in out[v]:
+                    nxt[idx[w]] += r[idx[v]] / len(out[v])
+            else:
+                dmass += r[idx[v]]
+        r = (1.0 - d) / n + d * (nxt + dmass / n)
+    want = {v: round(r[idx[v]] * n, 6) for v in nodes}
+    assert set(got) == {f"n{v}" for v in nodes}
+    for v in nodes:
+        assert abs(got[f"n{v}"] - want[v]) < 1e-6, (v, got[f"n{v}"], want[v])

@@ -323,3 +323,83 @@ def transitive_reduction(
     return e.join(mid, ["u", "v"], "left_anti").select(
         F.col("u").alias(child_col), F.col("v").alias(parent_col)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge table — the
+    entity-importance primitive for canonical-entity selection when
+    canonicalization (connected_components) leaves a cluster with several
+    candidate representatives (reference picks by redirect target only,
+    /root/reference/src/kb_loader/db_pedia.py:55-71; rank generalizes it).
+
+    Power iteration with dangling-mass redistribution. Everything stays
+    in the plan: per-iteration global scalars (dangling mass) are
+    1-row aggregates broadcast-crossjoined, never collected, so there is
+    no driver-side action inside the loop; lineage is cut per iteration
+    with localCheckpoint. Per iteration: one rank⋈edges shuffle on src
+    (edges pre-joined with out-degree once, checkpointed) + one groupBy
+    dst — the canonical 2-shuffle PR round, skew handled by AQE.
+
+    Returns (node, rank) with rank scaled by N (average = 1.0, so a
+    6-dp rounding keeps ~7 significant digits for oracle comparison).
+    """
+    spark = edges.sparkSession
+    _ensure_safe_optimizer(spark)
+    e = _checkpoint(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+    )
+    nodes = _checkpoint(
+        _fork(e).select(F.col("src").alias("node"))
+        .union(_fork(e).select("dst"))
+        .distinct()
+    )
+    out_deg = _fork(e).groupBy("src").agg(F.count("*").alias("deg"))
+    deg_edges = _checkpoint(_fork(e).join(out_deg, "src"))
+    n_df = _fork(nodes).agg(F.count("*").cast("double").alias("n"))
+    ranks = (
+        _fork(nodes)
+        .crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    )
+    for _ in range(iters):
+        r = _fork(ranks)
+        contribs = (
+            r.join(_fork(deg_edges), r.node == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        dangling = (
+            _fork(ranks)
+            .join(_fork(deg_edges).select("src").distinct(),
+                  F.col("node") == F.col("src"), "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = _checkpoint(
+            _fork(nodes)
+            .join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(n_df))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("n")
+                    + damping
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n")
+                    )
+                ).alias("rank"),
+            )
+        )
+    return (
+        _fork(ranks)
+        .crossJoin(F.broadcast(n_df))
+        .select("node", F.round(F.col("rank") * F.col("n"), 6).alias("rank"))
+    )

@@ -1474,6 +1474,51 @@ def clean_boilerplate(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration CTE chain mirroring graph.pagerank's
+    expression shape exactly (same literals, same op order) so doubles
+    agree far below the 6-dp rounding."""
+    base = repr(1.0 - damping)
+    parts = ["""
+    WITH pedges AS (
+      SELECT DISTINCT 'P' || l_partkey AS src, 'S' || l_suppkey AS dst
+      FROM lineitem
+    ),
+    pnodes AS (SELECT src AS node FROM pedges UNION SELECT dst FROM pedges),
+    pdeg AS (SELECT src, COUNT(*) AS deg FROM pedges GROUP BY src),
+    pn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pnodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM pn) AS rank FROM pnodes)"""]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(f""",
+    pc{i} AS (SELECT e.dst AS node, SUM(r.rank / d.deg) AS contrib
+             FROM pr{p} r JOIN pedges e ON r.node = e.src
+             JOIN pdeg d ON e.src = d.src GROUP BY e.dst),
+    pd{i} AS (SELECT COALESCE(SUM(rank), 0.0) AS dmass FROM pr{p}
+             WHERE node NOT IN (SELECT src FROM pedges)),
+    pr{i} AS (SELECT nd.node,
+               {base} / (SELECT n FROM pn)
+               + {damping} * (COALESCE(c.contrib, 0.0)
+                  + (SELECT dmass FROM pd{i}) / (SELECT n FROM pn)) AS rank
+             FROM pnodes nd LEFT JOIN pc{i} c ON nd.node = c.node)""")
+    parts.append(f"""
+    SELECT node, ROUND(rank * (SELECT n FROM pn), 6) AS rank FROM pr{iters}
+    """)
+    return "".join(parts)
+
+
+@q("entity_pagerank", oracle=_pagerank_oracle(5, 0.85))
+def entity_pagerank(spark, sf_dir):
+    """PageRank over the part→supplier KG edges (the entity-importance
+    signal for choosing a canonical representative per dedup cluster)."""
+    li = T(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("P"), "l_partkey").alias("src"),
+        F.concat(F.lit("S"), "l_suppkey").alias("dst"),
+    )
+    return graph.pagerank(edges, iters=5, damping=0.85)
+
+
 _REP_CTE = f"""
     rdocs AS (
       SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
