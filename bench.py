@@ -65,6 +65,7 @@ HEADLINE = [
     "link_candidates_topk",
     "canonical_components",
     "entity_pagerank",
+    "click_purchase_attribution",
     "redirect_fixpoint",
     "ancestor_closure",
     "chunked_mentions",

@@ -126,3 +126,29 @@ def test_streaming_dedup_first_seen_across_batches(spark, tmp_path):
     r2 = {(r["__h"], r["doc_id"]) for r in spark.read.parquet(out_dir).collect()}
     # only gamma is new; alpha/beta suppressed by state
     assert {d for _, d in r2} == {0, 1, 4}
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir, tmp_path):
+    from thesaurus_based_ner_spark.plans.queries import (
+        click_purchase_attribution,
+    )
+    from thesaurus_based_ner_spark.streaming.ingest import (
+        click_purchase_join_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_dir = str(tmp_path / "events")
+    events.write.parquet(ev_dir)  # file stream sources need a directory
+    joined = click_purchase_join_stream(spark, ev_dir, events.schema)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("cp_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM cp_join").collect()}
+    want = {tuple(r) for r in click_purchase_attribution(spark, sf_dir).collect()}
+    assert len(want) > 0
+    assert got == want

@@ -548,6 +548,52 @@ def set_prf_click_purchase(spark, sf_dir):
     )
 
 
+@q(
+    "click_purchase_attribution",
+    oracle="""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_to_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def click_purchase_attribution(spark, sf_dir):
+    """Time-bounded interval join: each click attributed to purchases by
+    the same user within 1 hour. Batch twin of
+    streaming.ingest.click_purchase_join_stream — the driver checks this
+    one; the pytest asserts the watermarked stream-stream join emits the
+    identical row set once drained."""
+    ev = T(spark, sf_dir, "events")
+    c = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")
+            ).cast("bigint").alias("secs_to_purchase"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # §4 skew — salted repartition join must equal the plain join
 # ---------------------------------------------------------------------------

@@ -137,3 +137,58 @@ def streaming_dedup_first_seen(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_join_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: attribute each click to
+    purchases by the same user within `horizon`.
+
+    Both sides carry a watermark and the join condition bounds purchase
+    time to [click_ts, click_ts + horizon], so Spark can evict click
+    state once the purchase watermark passes click_ts + horizon and
+    purchase state once the click watermark passes purchase_ts — bounded
+    state on an unbounded crawl feed, the scale requirement for
+    stream-stream joins. Inner join → append-only output; draining with
+    Trigger.AvailableNow yields exactly the batch twin
+    (plans/queries.click_purchase_attribution), which the tests assert.
+    """
+    def side(event_type: str, id_alias: str, ts_alias: str, user_alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(events_dir)
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(user_alias),
+                F.col("event_id").alias(id_alias),
+                # parquet timestamps are NTZ; watermarks require TIMESTAMP.
+                # The cast shifts both sides identically, so the interval
+                # join and secs_to_purchase are unaffected.
+                F.col("ts").cast("timestamp").alias(ts_alias),
+            )
+            .withWatermark(ts_alias, watermark)
+        )
+
+    clicks = side("click", "click_id", "c_ts", "user_id")
+    purchases = side("purchase", "purchase_id", "p_ts", "p_user")
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+            .cast("bigint")
+            .alias("secs_to_purchase"),
+        )
+    )
