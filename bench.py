@@ -66,6 +66,8 @@ HEADLINE = [
     "canonical_components",
     "entity_pagerank",
     "click_purchase_attribution",
+    "asof_click_signup",
+    "tfidf_topk",
     "redirect_fixpoint",
     "ancestor_closure",
     "chunked_mentions",

@@ -221,6 +221,47 @@ def remove_boilerplate(
     )
 
 
+def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the classic
+    keyword/topic signal for corpus exploration and weak labeling.
+
+    score = tf · ln(N / df), N = corpus doc count (1-row broadcast
+    aggregate, never collected). Ranking uses the 6-dp ROUNDED score:
+    mathematically-equal scores reached via different float paths (e.g.
+    2·ln10 vs ln100) can differ by an ulp across engines, and rounding
+    first makes the (score, term) order engine-portable. Shuffles: one on
+    (id, term) for TF, one dim-sized on term for DF, one on id for the
+    top-k window — all map-side combined.
+
+    Returns (id, term, tf, score, rk), rk = 1..k.
+    """
+    t = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens_lower(text_col)).alias("term")
+    )
+    tf = t.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = df.agg(F.countDistinct(id_col).cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            "score",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from thesaurus_based_ner_spark.functions.text import TOKEN_RE
-from thesaurus_based_ner_spark.operators import dedup, graph, textstats
+from thesaurus_based_ner_spark.operators import dedup, graph, temporal, textstats
 from thesaurus_based_ner_spark.operators.mentions import (
     detect_mentions_df,
     detect_mentions_trie,
@@ -545,6 +545,55 @@ def set_prf_click_purchase(spark, sf_dir):
             F.round(F.col("n_inter") * 1.0 / F.col("n_pred"), 6).alias("precision"),
             F.round(F.col("n_inter") * 1.0 / F.col("n_gold"), 6).alias("recall"),
         )
+    )
+
+
+@q(
+    "asof_click_signup",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts
+      FROM events WHERE event_type = 'click'
+    ),
+    s AS (
+      SELECT user_id, ts, MAX(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT c.user_id, c.click_id,
+           COALESCE(s.signup_id, -1) AS signup_id,
+           CAST(COALESCE(date_diff('second', s.ts, c.ts), -1) AS BIGINT)
+             AS secs_since_signup
+    FROM clicks c ASOF LEFT JOIN s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def asof_click_signup(spark, sf_dir):
+    """As-of join: each click enriched with the most recent signup at or
+    before it (per user); DuckDB's native ASOF LEFT JOIN is the oracle."""
+    ev = T(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    signups = (
+        ev.filter("event_type = 'signup'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("signup_id"))
+        .withColumn("signup_ts", F.col("ts"))
+    )
+    j = temporal.asof_join(
+        clicks, signups, on=["user_id"], left_ts="ts", right_ts="ts"
+    )
+    # -1 sentinels for no-match rows: nullable numeric outputs round-trip
+    # as NaN through the oracle's pandas frame and defeat value compare
+    return j.select(
+        "user_id",
+        "click_id",
+        F.coalesce("signup_id", F.lit(-1)).alias("signup_id"),
+        F.coalesce(
+            F.unix_timestamp("ts") - F.unix_timestamp("signup_ts"), F.lit(-1)
+        )
+        .cast("bigint")
+        .alias("secs_since_signup"),
     )
 
 
@@ -1563,6 +1612,38 @@ def entity_pagerank(spark, sf_dir):
         F.concat(F.lit("S"), "l_suppkey").alias("dst"),
     )
     return graph.pagerank(edges, iters=5, damping=0.85)
+
+
+@q(
+    "tfidf_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             unnest(list_transform(regexp_extract_all(text, '{_SQL_TOKEN_RE}'),
+                    x -> lower(x))) AS term
+      FROM documents
+    ),
+    tf AS (SELECT id, term, COUNT(*) AS tf FROM t GROUP BY id, term),
+    dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT id, term, tf,
+             ROUND(tf * ln((SELECT n FROM n) / df), 6) AS score
+      FROM tf JOIN dfq USING (term)
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+                 ORDER BY score DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def tfidf_topk(spark, sf_dir):
+    """Top-5 TF-IDF terms per document."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return textstats.tfidf_topk(d, "doc_id", "text", k=5)
 
 
 _REP_CTE = f"""
