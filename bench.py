@@ -68,6 +68,9 @@ HEADLINE = [
     "click_purchase_attribution",
     "asof_click_signup",
     "tfidf_topk",
+    "value_percentiles",
+    "revenue_rollup",
+    "event_type_pivot",
     "redirect_fixpoint",
     "ancestor_closure",
     "chunked_mentions",

@@ -549,6 +549,102 @@ def set_prf_click_purchase(spark, sf_dir):
 
 
 @q(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (Spark `percentile`
+    ≡ DuckDB `quantile_cont`, both linear interpolation on sorted
+    values). Exact percentile is a full sort per group — at corpus scale
+    swap for percentile_approx (t-digest) and widen the oracle to a
+    tolerance; here the exact form doubles as the oracle check."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@q(
+    "revenue_rollup",
+    oracle="""
+    SELECT COALESCE(r_name, '__ALL__') AS region,
+           COALESCE(n_name, '__ALL__') AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def revenue_rollup(spark, sf_dir):
+    """ROLLUP subtotals (region, nation, grand total) in one pass —
+    Spark's rollup() plans a single Expand + hash aggregate, not three
+    scans. Broadcast dims keep the fact-table join shuffle-free."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("__ALL__")).alias("region"),
+            F.coalesce("n_name", F.lit("__ALL__")).alias("nation"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@q(
+    "event_type_pivot",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark, sf_dir):
+    """Wide per-user event-type counts via pivot with an EXPLICIT value
+    list — omitting it makes Spark run a blocking distinct scan to
+    discover columns, a silent extra job at scale."""
+    ev = T(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(k) for k in kinds]
+    )
+
+
+@q(
     "asof_click_signup",
     oracle="""
     WITH clicks AS (
