@@ -68,6 +68,7 @@ HEADLINE = [
     "click_purchase_attribution",
     "asof_click_signup",
     "tfidf_topk",
+    "approx_distinct_users",
     "value_percentiles",
     "revenue_rollup",
     "event_type_pivot",

@@ -549,6 +549,36 @@ def set_prf_click_purchase(spark, sf_dir):
 
 
 @q(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_n,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct-user counts per event type, gated against the
+    exact count: the oracle asserts the 2%-rsd sketch lands within 5% of
+    exact, so sketch drift fails the driver's value compare. At corpus
+    scale only the sketch runs (one pass, constant memory); the exact
+    count here is the verification harness."""
+    ev = T(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_n"),
+        F.approx_count_distinct("user_id", 0.02).alias("__approx"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_n",
+        (
+            F.abs(F.col("__approx") - F.col("exact_n"))
+            <= F.col("exact_n") * 0.05
+        ).alias("approx_within_5pct"),
+    )
+
+
+@q(
     "value_percentiles",
     oracle="""
     SELECT event_type,
