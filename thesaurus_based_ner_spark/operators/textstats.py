@@ -239,10 +239,15 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFra
         F.col(id_col).alias("id"), F.explode(_tokens_lower(text_col)).alias("term")
     )
     tf = t.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # document frequency as a window count over the tf frame (its rows are
+    # unique per (id, term)): a groupBy-then-self-join would recompute the
+    # whole explode+aggregate subtree — TWO corpus scans in the physical
+    # plan — where the window is one extra term-keyed shuffle on the
+    # already-aggregated (doc, term) rows.
+    dfreq = F.count("*").over(Window.partitionBy("term"))
     n = df.agg(F.countDistinct(id_col).cast("double").alias("n"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n))
         .withColumn(
             "score", F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
