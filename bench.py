@@ -65,6 +65,7 @@ HEADLINE = [
     "link_candidates_topk",
     "canonical_components",
     "entity_pagerank",
+    "inferred_type_triples",
     "click_purchase_attribution",
     "asof_click_signup",
     "tfidf_topk",

@@ -955,6 +955,58 @@ def mention_label_counts(spark, sf_dir):
     )
 
 
+# label-level ontology over the DOC_THESAURUS label space (child, parent)
+LABEL_ONTOLOGY: list[tuple[str, str]] = [
+    ("Operation", "Compute"),
+    ("Clause", "Compute"),
+    ("Storage", "Resource"),
+    ("System", "Resource"),
+    ("Compute", "Thing"),
+    ("Resource", "Thing"),
+]
+_ONT_VALUES = ", ".join(f"('{c}', '{p}')" for c, p in LABEL_ONTOLOGY)
+
+
+@q(
+    "inferred_type_triples",
+    oracle=_MENTION_CTE
+    + f""",
+    ont(child, parent) AS (VALUES {_ONT_VALUES}),
+    anc AS (
+      SELECT child AS node, parent AS anc FROM ont
+      UNION
+      SELECT o1.child, o2.parent FROM ont o1 JOIN ont o2 ON o1.parent = o2.child
+      UNION SELECT child, child FROM ont
+      UNION SELECT parent, parent FROM ont
+    ),
+    ents AS (SELECT DISTINCT lower(surface) AS subj, label FROM mentions)
+    SELECT DISTINCT e.subj, 'rdf:type' AS pred, a.anc AS obj
+    FROM ents e JOIN anc a ON e.label = a.node
+    """,
+)
+def inferred_type_triples(spark, sf_dir):
+    """KG type inference: entity rdf:type triples expanded through the
+    label-ontology ancestor closure (rdf:type ∘ subClassOf* — the RDFS
+    entailment rule rdfs9). Mentions come from the same detector as
+    mention_spans; the closure is dim-sized and the expansion join
+    broadcasts it, so the only corpus-sized work is the mention scan."""
+    m = _doc_mentions(spark, sf_dir)
+    ents = m.select(F.lower("surface").alias("subj"), "label").distinct()
+    ont = spark.sql(
+        f"SELECT * FROM VALUES {_ONT_VALUES} AS t(child, parent)"
+    )
+    closure = graph.ancestor_closure(ont, include_self=True)
+    return (
+        ents.join(F.broadcast(closure), ents.label == closure.node)
+        .select(
+            "subj",
+            F.lit("rdf:type").alias("pred"),
+            F.col("ancestor").alias("obj"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup family (exact / n-gram Jaccard / MinHash-LSH / SimHash)
 # ---------------------------------------------------------------------------
