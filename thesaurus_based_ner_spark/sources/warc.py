@@ -1,0 +1,168 @@
+"""WARC source connector via the Spark 4 Python DataSource API.
+
+Common Crawl ships web pages as WARC (ISO 28500) files: a sequence of
+records, each a header block (CRLF-terminated lines, blank-line
+terminated) followed by a Content-Length-sized payload. This connector
+reads `response` records into the north-star input shape
+(url, warc_ts, html) — text extraction stays a downstream stage
+(plans/pipeline.extract_stage) so the scan does no per-row Python beyond
+the record parse itself.
+
+Scale shape: one InputPartition per WARC file (Common Crawl publishes
+~1 GB segment files — a file is the natural split; records are
+length-delimited so mid-file splits would need an index). The reader
+streams records sequentially per file and never holds more than one
+payload in memory. Register once per session:
+
+    spark.dataSource.register(WarcDataSource)
+    spark.read.format("warc").load("/path/to/*.warc")  # or dir
+
+Reference parity: the reference ingests pre-extracted text from SQLite
+(/root/reference/src/kb_loader/raw_corpus.py); WARC ingestion is the
+Spark-native extension the 10^12-page crawl actually arrives as.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    StructField,
+    StructType,
+    StringType,
+    TimestampType,
+)
+
+WARC_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+    ]
+)
+
+
+def parse_warc_records(data: bytes):
+    """Yield (url, warc_ts, payload) for each response record.
+
+    Tolerant sequential parse: scan header blocks (terminated by
+    CRLFCRLF), honor Content-Length for the payload, skip non-response
+    records. Malformed trailing bytes end the scan rather than raising —
+    a truncated crawl file yields its complete prefix.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            return
+        header = data[pos:head_end].decode("utf-8", "replace")
+        lines = header.split("\r\n")
+        if not lines or not lines[0].startswith("WARC/"):
+            return
+        fields = {}
+        for line in lines[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                fields[k.strip().lower()] = v.strip()
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            return
+        body_start = head_end + 4
+        body = data[body_start : body_start + length]
+        if len(body) < length:  # truncated mid-payload: drop the record
+            return
+        # records are separated by CRLFCRLF after the payload
+        pos = body_start + length
+        while data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if fields.get("warc-type") == "response":
+            ts = None
+            raw_ts = fields.get("warc-date", "")
+            try:
+                ts = datetime.strptime(raw_ts, "%Y-%m-%dT%H:%M:%SZ").replace(
+                    tzinfo=timezone.utc
+                )
+            except ValueError:
+                pass
+            yield fields.get("warc-target-uri"), ts, body
+
+
+class _WarcPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.load_path = options.get("path")
+        if not self.load_path:
+            raise ValueError("warc source requires a path")
+
+    def partitions(self):
+        p = self.load_path
+        if os.path.isdir(p):
+            files = sorted(glob.glob(os.path.join(p, "*.warc")))
+        else:
+            files = sorted(glob.glob(p)) or [p]
+        return [_WarcPartition(f) for f in files]
+
+    def read(self, partition):
+        with open(partition.path, "rb") as f:
+            data = f.read()
+        yield from parse_warc_records(data)
+
+
+class WarcDataSource(DataSource):
+    """`spark.read.format("warc").load(path)` → (url, warc_ts, html)."""
+
+    @classmethod
+    def name(cls):
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return _WarcReader(self.options)
+
+
+def write_warc(path: str, pages: list[tuple[str, str, bytes]]) -> None:
+    """Serialize (url, iso_ts, html) pages as a spec-shaped WARC file —
+    the deterministic fixture generator for tests (no crawl data in the
+    sandbox)."""
+    with open(path, "wb") as f:
+        for url, iso_ts, html in pages:
+            head = (
+                "WARC/1.0\r\n"
+                "WARC-Type: response\r\n"
+                f"WARC-Target-URI: {url}\r\n"
+                f"WARC-Date: {iso_ts}\r\n"
+                f"Content-Length: {len(html)}\r\n"
+                "\r\n"
+            ).encode()
+            f.write(head + html + b"\r\n\r\n")
+
+
+def warc_webtext(spark, path: str):
+    """WARC scan adapted to the pipeline's webtext shape: text extracted
+    by the same byte-identity function the parquet path uses
+    (plans/pipeline.extract_stage runs it again as the verification
+    stage), lang filled by the n-gram heuristic downstream — here marked
+    'und' so the lang filter stage decides, not the scan."""
+    from pyspark.sql import functions as F
+
+    spark.dataSource.register(WarcDataSource)
+    raw = spark.read.format("warc").load(path)
+    return raw.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit("und").alias("lang"),
+    )
