@@ -68,6 +68,7 @@ HEADLINE = [
     "inferred_type_triples",
     "click_purchase_attribution",
     "asof_click_signup",
+    "session_window_rollup",
     "tfidf_topk",
     "approx_distinct_users",
     "value_percentiles",

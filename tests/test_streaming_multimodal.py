@@ -152,3 +152,43 @@ def test_stream_stream_join_matches_batch_twin(spark, sf_dir, tmp_path):
     want = {tuple(r) for r in click_purchase_attribution(spark, sf_dir).collect()}
     assert len(want) > 0
     assert got == want
+
+
+def test_session_window_stream_matches_batch_twin(spark, sf_dir, tmp_path):
+    from thesaurus_based_ner_spark.streaming.ingest import (
+        session_window_counts_stream,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_dir = str(tmp_path / "events")
+    events.write.parquet(ev_dir)
+    stream = session_window_counts_stream(spark, ev_dir, events.schema)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sess").collect()}
+    want = {
+        tuple(r)
+        for r in (
+            events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .select(
+                "user_id",
+                F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_start"),
+                F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+                .alias("session_end"),
+                "n",
+            )
+            .collect()
+        )
+    }
+    assert len(want) > 0
+    assert got == want

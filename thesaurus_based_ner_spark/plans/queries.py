@@ -675,6 +675,52 @@ def event_type_pivot(spark, sf_dir):
 
 
 @q(
+    "session_window_rollup",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= COALESCE(LAG(ts) OVER w, ts) + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM o
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY user_id, sess
+    """,
+)
+def session_window_rollup(spark, sf_dir):
+    """Native session_window (gap-merged, 30 min) per user — batch twin
+    of streaming.ingest.session_window_counts_stream; the oracle is the
+    lag-island formulation with session_window's exact tie rule (an
+    event AT prev_ts + gap starts a NEW session, window end =
+    last_event + gap). First row: lag defaults to its own ts → brk=1,
+    seeding each user's running session id at 1."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n",
+        )
+    )
+
+
+@q(
     "asof_click_signup",
     oracle="""
     WITH clicks AS (

@@ -192,3 +192,35 @@ def click_purchase_join_stream(
             .alias("secs_to_purchase"),
         )
     )
+
+
+def session_window_counts_stream(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user session windows (gap-merged) over the event stream —
+    Spark's native session_window keeps one open window per (user,
+    session) in the state store and closes it when the watermark passes
+    last_event + gap; state is bounded by active sessions, not stream
+    length. The pytest drains with AvailableNow in complete mode and
+    asserts equality with the batch session_window twin (same function,
+    same semantics, no reimplementation drift).
+    """
+    ev = spark.readStream.schema(schema).parquet(events_dir)
+    return (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+            .alias("session_end"),
+            "n",
+        )
+    )
