@@ -58,11 +58,14 @@ def cmd_pipeline(args) -> int:
         synth_webtext,
     )
 
-    webtext = (
-        spark.read.parquet(args.input)
-        if args.input
-        else synth_webtext(spark, args.synth_docs)
-    )
+    if args.input and args.input_format == "warc":
+        from thesaurus_based_ner_spark.sources.warc import warc_webtext
+
+        webtext = warc_webtext(spark, args.input)
+    elif args.input:
+        webtext = spark.read.parquet(args.input)
+    else:
+        webtext = synth_webtext(spark, args.synth_docs)
     anchor = (
         spark.read.parquet(args.anchor)
         if args.anchor
@@ -131,7 +134,13 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     pp = sub.add_parser("pipeline", help="run the KG-construction pipeline")
-    pp.add_argument("--input", help="webtext parquet path (default: synthetic)")
+    pp.add_argument("--input", help="webtext path (default: synthetic)")
+    pp.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="webtext input container (warc = raw crawl files)",
+    )
     pp.add_argument("--synth-docs", type=int, default=10000)
     pp.add_argument("--thesaurus", help="TSV term\\tlabel file (default: built-in)")
     pp.add_argument("--anchor", help="anchor-text parquet (entity, surface)")

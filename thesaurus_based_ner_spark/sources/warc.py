@@ -149,12 +149,12 @@ def write_warc(path: str, pages: list[tuple[str, str, bytes]]) -> None:
             f.write(head + html + b"\r\n\r\n")
 
 
-def warc_webtext(spark, path: str):
-    """WARC scan adapted to the pipeline's webtext shape: text extracted
-    by the same byte-identity function the parquet path uses
-    (plans/pipeline.extract_stage runs it again as the verification
-    stage), lang filled by the n-gram heuristic downstream — here marked
-    'und' so the lang filter stage decides, not the scan."""
+def warc_webtext(spark, path: str, default_lang: str = "en"):
+    """WARC scan adapted to the pipeline's webtext shape. text is null
+    (extraction is the pipeline's own first stage); lang is stamped with
+    default_lang so the sentence stage's lang filter passes the corpus
+    through — in production, chain operators/textstats.lang_id after
+    extraction and re-stamp instead of trusting a constant."""
     from pyspark.sql import functions as F
 
     spark.dataSource.register(WarcDataSource)
@@ -164,5 +164,5 @@ def warc_webtext(spark, path: str):
         "warc_ts",
         "html",
         F.lit(None).cast("string").alias("text"),
-        F.lit("und").alias("lang"),
+        F.lit(default_lang).alias("lang"),
     )
