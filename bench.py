@@ -69,6 +69,7 @@ HEADLINE = [
     "click_purchase_attribution",
     "asof_click_signup",
     "session_window_rollup",
+    "canonical_url_dedup",
     "tfidf_topk",
     "approx_distinct_users",
     "value_percentiles",

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from thesaurus_based_ner_spark.functions.text import TOKEN_RE
+from thesaurus_based_ner_spark.functions import url as url_fns
 from thesaurus_based_ner_spark.operators import dedup, graph, temporal, textstats
 from thesaurus_based_ner_spark.operators.mentions import (
     detect_mentions_df,
@@ -671,6 +672,42 @@ def event_type_pivot(spark, sf_dir):
     )
     return out.select(
         "user_id", *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(k) for k in kinds]
+    )
+
+
+@q(
+    "canonical_url_dedup",
+    oracle="""
+    SELECT 'cust' || o_custkey || '.example.com/order/' || o_orderkey
+             || '?id=' || o_orderkey AS url,
+           CAST(4 AS BIGINT) AS n_variants
+    FROM orders
+    """,
+)
+def canonical_url_dedup(spark, sf_dir):
+    """canonical_url value check: four fetch-noise variants per order
+    (tracking params, host case + www + default port, trailing slash,
+    fragment) must all fold to one closed-form canonical url. The oracle
+    states that expected form directly from the table columns, so any
+    parse_url / normalization regression breaks the value compare."""
+    o = T(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("string")
+    ok = F.col("o_orderkey").cast("string")
+    v = F.array(
+        F.concat(F.lit("http://cust"), ck, F.lit(".example.com/order/"), ok,
+                 F.lit("?id="), ok),
+        F.concat(F.lit("https://CUST"), ck, F.lit(".Example.com/order/"), ok,
+                 F.lit("/?id="), ok, F.lit("&utm_source=news")),
+        F.concat(F.lit("http://www.cust"), ck, F.lit(".example.com:80/order/"),
+                 ok, F.lit("?utm_campaign=x&id="), ok),
+        F.concat(F.lit("http://cust"), ck, F.lit(".example.com/order/"), ok,
+                 F.lit("?id="), ok, F.lit("#frag")),
+    )
+    raw = o.select(F.explode(v).alias("raw_url"))
+    return (
+        raw.select(url_fns.canonical_url("raw_url").alias("url"))
+        .groupBy("url")
+        .agg(F.count("*").alias("n_variants"))
     )
 
 
