@@ -71,6 +71,7 @@ HEADLINE = [
     "session_window_rollup",
     "canonical_url_dedup",
     "tfidf_topk",
+    "unigram_logprob",
     "approx_distinct_users",
     "value_percentiles",
     "revenue_rollup",

@@ -267,6 +267,42 @@ def tfidf_topk(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFra
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-unigram log-probability per document — the language-model
+    fluency signal (documents whose tokens are corpus-atypical score
+    low; spam / lorem-ipsum / wrong-language text falls out of band).
+
+    avg_lp = (Σ_t ln c_t − n·ln N) / n over the doc's n token
+    occurrences, c_t = corpus count of token t, N = corpus token count.
+    Single corpus scan: per-occurrence counts come from a term-keyed
+    window over the exploded stream (no self-join re-scan — see
+    tfidf_topk), N from a 1-row aggregate of the per-doc frame,
+    broadcast back. Returns (id, n_tokens, avg_logprob).
+    """
+    pos = df.select(
+        F.col(id_col).alias("id"), F.explode(_tokens_lower(text_col)).alias("term")
+    )
+    c = F.count("*").over(Window.partitionBy("term"))
+    occ = pos.withColumn("__lnc", F.log(c))
+    per_doc = occ.groupBy("id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("__lnc").alias("__slc"),
+    )
+    n_total = per_doc.agg(F.sum("n_tokens").cast("double").alias("__N"))
+    return (
+        per_doc.crossJoin(F.broadcast(n_total))
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                (F.col("__slc") - F.col("n_tokens") * F.log(F.col("__N")))
+                / F.col("n_tokens"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, text_col: str, n: int = 2
 ) -> DataFrame:

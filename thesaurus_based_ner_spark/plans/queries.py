@@ -1876,6 +1876,35 @@ def entity_pagerank(spark, sf_dir):
 
 
 @q(
+    "unigram_logprob",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id AS id,
+             ln(COUNT(*) OVER (PARTITION BY term)) AS lnc
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(regexp_extract_all(text,
+                      '{_SQL_TOKEN_RE}'), x -> lower(x))) AS term
+        FROM documents)
+    ),
+    per_doc AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tokens, SUM(lnc) AS slc
+      FROM occ GROUP BY id
+    ),
+    n AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS N FROM per_doc)
+    SELECT id, n_tokens,
+           ROUND((slc - n_tokens * ln((SELECT N FROM n))) / n_tokens, 6)
+             AS avg_logprob
+    FROM per_doc
+    """,
+)
+def unigram_logprob(spark, sf_dir):
+    """Corpus-unigram average log-probability per document."""
+    d = spread(T(spark, sf_dir, "documents"))
+    return textstats.unigram_logprob(d, "doc_id", "text")
+
+
+@q(
     "tfidf_topk",
     oracle=f"""
     WITH t AS (
