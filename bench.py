@@ -286,10 +286,26 @@ def main_scaling() -> None:
                 ],
                 capture_output=True, text=True, env=env, timeout=3600,
             )
-            one = json.loads(proc.stdout.strip().splitlines()[-1])
+            # one dead level-rep must not discard the whole multi-hour
+            # run: surface the child's stderr, skip the rep, keep going
+            lines = (proc.stdout or "").strip().splitlines()
+            if proc.returncode != 0 or not lines:
+                print(
+                    f"scaling: local[{cpus}] round {_round} failed "
+                    f"(rc={proc.returncode}); stderr tail:\n"
+                    + "\n".join((proc.stderr or "").splitlines()[-15:]),
+                    file=sys.stderr,
+                )
+                continue
+            one = json.loads(lines[-1])
             if cpus not in results:
                 results[cpus] = {"reps": []}
             results[cpus]["reps"].extend(one["reps"])
+    missing = [c for c in levels if c not in results]
+    if missing:
+        raise SystemExit(
+            f"scaling: no successful rep at level(s) {missing}; aborting"
+        )
     for cpus in levels:
         results[cpus]["best"] = min(
             results[cpus]["reps"], key=lambda d: d["wall_s"]

@@ -216,3 +216,21 @@ def test_upsert_replaces_matched_keys_and_appends_new(spark, tmp_path):
     # lineage sidecar survives the swap and points at the table
     meta = [m for m in cat.lineage() if m["table"] == "kv"]
     assert meta and meta[0]["rows_out"] == 13
+
+
+def test_upsert_dedupes_incoming_keys_deterministically(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from thesaurus_based_ner_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    cat.upsert("kv", spark.range(0, 3).select(
+        F.col("id").alias("k"), F.lit("old").alias("v")), keys=["k"])
+    dup = spark.sql(
+        "SELECT * FROM VALUES (1, 'b'), (1, 'a'), (7, 'z'), (7, 'y') AS t(k, v)"
+    )
+    out = cat.upsert("kv", dup, keys=["k"])
+    rows = {r.k: r.v for r in out.collect()}
+    # one row per key; min-struct winner ('a' < 'b', 'y' < 'z')
+    assert rows == {0: "old", 1: "a", 2: "old", 7: "y"}
+    assert out.count() == 4

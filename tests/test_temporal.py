@@ -44,3 +44,15 @@ def test_asof_keeps_left_payload_and_row_count(spark):
     assert res.count() == left.count()
     rows = {(r.lid, r.ts): r.rid for r in res.collect()}
     assert rows == {(1, 3): None, (2, 8): 100, (9, 9): 100}
+
+
+def test_asof_null_payload_field_not_backfilled(spark):
+    # a matched right row with a legitimately NULL field must NOT have
+    # that field back-filled from an older right row (torn-row bug)
+    left = _df(spark, [("k", 10, 1)], "k, ts, lid")
+    right = spark.sql(
+        "SELECT * FROM VALUES ('k', 1, 1, 2), ('k', 5, CAST(NULL AS INT), 9) "
+        "AS t(k, ts, a, b)"
+    )
+    r = asof_join(left, right, ["k"], "ts", "ts").collect()[0]
+    assert r.a is None and r.b == 9, (r.a, r.b)

@@ -58,6 +58,9 @@ def cmd_pipeline(args) -> int:
         synth_webtext,
     )
 
+    if args.input_format == "warc" and not args.input:
+        print("error: --input-format warc requires --input", file=sys.stderr)
+        return 2
     if args.input and args.input_format == "warc":
         from thesaurus_based_ner_spark.sources.warc import warc_webtext
 

@@ -41,12 +41,23 @@ def asof_join(
         clash = [c for c in payload if c in lcols]
         raise ValueError(f"right payload columns clash with left: {clash}")
 
+    # the matched right row travels as ONE struct: picking payload columns
+    # independently with last(ignorenulls) would back-fill a legitimate
+    # NULL field of the matched row from an OLDER right row, tearing the
+    # output across right rows (a struct is non-null even when every
+    # field inside is null, so last(ignorenulls) respects row identity)
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__is_left"),
         *[F.col(c) for c in lcols if c not in on and c != left_ts],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None)
+        .cast(
+            "struct<" + ", ".join(
+                f"{c}: {right.schema[c].dataType.simpleString()}" for c in payload
+            ) + ">"
+        )
+        .alias("__r"),
         F.col(left_ts),
     )
     r_tag = right.select(
@@ -55,30 +66,27 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in lcols if c not in on and c != left_ts],
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c) for c in payload]).alias("__r"),
         F.lit(None).cast(left.schema[left_ts].dataType).alias(left_ts),
     )
     u = l_tag.unionByName(r_tag)
-    if direction == "backward":
-        # right rows sort BEFORE left rows at equal ts → inclusive bound
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        pick = {c: F.last(c, ignorenulls=True).over(w) for c in payload}
-    else:
-        w = (
-            Window.partitionBy(*on)
-            .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        pick = {c: F.last(c, ignorenulls=True).over(w) for c in payload}
+    order = (
+        [F.col("__ts").asc(), F.col("__is_left").asc()]
+        if direction == "backward"
+        # desc ts: right rows at equal ts still sort first → inclusive
+        else [F.col("__ts").desc(), F.col("__is_left").asc()]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pick = F.last("__r", ignorenulls=True).over(w)
     out = u.select(
         *on,
         "__is_left",
         left_ts,
         *[c for c in lcols if c not in on and c != left_ts],
-        *[pick[c].alias(c) for c in payload],
+        *[pick.getField(c).alias(c) for c in payload],
     )
     return out.filter(F.col("__is_left") == 1).drop("__is_left")

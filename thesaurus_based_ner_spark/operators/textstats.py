@@ -25,6 +25,34 @@ def _tokens_lower(text_col: str):
     )
 
 
+def _ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int, lower: bool = False
+) -> DataFrame:
+    """(id, p, gram): token n-grams streamed off a doc-keyed posexplode +
+    lead window — shared by winnowing, repetition stats, and phrase
+    boilerplate. The gram and its validity guard MUST live in one
+    projection: a filter between them would re-evaluate the leads over
+    the filtered rows and silently shorten grams at partition ends
+    (concat_ws skips nulls)."""
+    src = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    toks = F.regexp_extract_all(src, F.lit(TOKEN_RE), F.lit(0))
+    pos = df.select(
+        F.col(id_col).alias("id"), F.posexplode(toks).alias("p", "tok")
+    )
+    w0 = Window.partitionBy("id").orderBy("p")
+    gram = F.concat_ws(" ", *[F.lead("tok", j).over(w0) for j in range(n)])
+    return (
+        pos.select(
+            "id",
+            "p",
+            gram.alias("gram"),
+            F.lead("tok", n - 1).over(w0).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+
+
 def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Heuristic language ID: argmax stopword-hit ratio across languages.
 
@@ -133,22 +161,10 @@ def winnow_fingerprints(
 
     Returns (id, pos, fp): selected gram position + its md5 fingerprint.
     """
-    toks = F.regexp_extract_all(
-        F.lower(F.col(text_col)), F.lit(TOKEN_RE), F.lit(0)
+    g = _ngrams(df, id_col, text_col, k, lower=True).withColumn(
+        "gh", F.md5(F.col("gram"))
     )
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("p", "tok")
-    )
-    w0 = Window.partitionBy("id").orderBy("p")
-    gram = F.concat_ws(
-        " ", *[F.lead("tok", j).over(w0) for j in range(k)]
-    )
-    g = (
-        pos.withColumn("__last", F.lead("tok", k - 1).over(w0))
-        .withColumn("gh", F.md5(gram))
-        .filter(F.col("__last").isNotNull())
-    )
-    wf = w0.rowsBetween(0, window - 1)
+    wf = Window.partitionBy("id").orderBy("p").rowsBetween(0, window - 1)
     sel = (
         g.withColumn(
             "__m", F.min(F.struct(F.col("gh"), (-F.col("p")).alias("np"))).over(wf)
@@ -317,19 +333,7 @@ def repetition_stats(
     mention-sized, map-side partially aggregated, no Python. Returns
     (id, n_grams, top_ngram_frac, dup_ngram_frac).
     """
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("p", "tok")
-    )
-    w0 = Window.partitionBy("id").orderBy("p")
-    gram = F.concat_ws(" ", *[F.lead("tok", j).over(w0) for j in range(n)])
-    # gram and the validity guard share one projection (see
-    # boilerplate_phrases: a filter in between would shorten edge grams)
-    g = pos.select(
-        "id",
-        gram.alias("gram"),
-        F.lead("tok", n - 1).over(w0).alias("__last"),
-    ).filter(F.col("__last").isNotNull())
+    g = _ngrams(df, id_col, text_col, n)
     per_gram = g.groupBy("id", "gram").agg(F.count("*").alias("c"))
     return per_gram.groupBy("id").agg(
         F.sum("c").cast("bigint").alias("n_grams"),
@@ -399,20 +403,7 @@ def boilerplate_phrases(
     shuffle on the phrase with partial aggregation; at corpus scale group
     on xxhash64(phrase) to bound shuffle key width.
     Returns (phrase, n_docs)."""
-    toks = F.regexp_extract_all(F.col(text_col), F.lit(TOKEN_RE), F.lit(0))
-    pos = df.select(
-        F.col(id_col).alias("id"), F.posexplode(toks).alias("p", "tok")
-    )
-    w0 = Window.partitionBy("id").orderBy("p")
-    phrase = F.concat_ws(" ", *[F.lead("tok", j).over(w0) for j in range(n)])
-    # phrase and the validity guard MUST share one projection: a filter
-    # between them would re-evaluate the leads over the filtered rows and
-    # silently shorten phrases at partition ends (concat_ws skips nulls)
-    g = pos.select(
-        "id",
-        phrase.alias("phrase"),
-        F.lead("tok", n - 1).over(w0).alias("__last"),
-    ).filter(F.col("__last").isNotNull())
+    g = _ngrams(df, id_col, text_col, n).withColumnRenamed("gram", "phrase")
     return (
         g.groupBy("phrase")
         .agg(F.countDistinct("id").cast("bigint").alias("n_docs"))

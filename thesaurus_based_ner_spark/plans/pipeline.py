@@ -58,7 +58,12 @@ def extract_stage(webtext: DataFrame) -> DataFrame:
             ext = [extract_text(bytes(h)) for h in pdf["html"]]
             out = pdf[["url", "lang"]].copy()
             out["text"] = ext
-            out["extract_ok"] = [a == b for a, b in zip(ext, pdf["text"])]
+            # a null stored text (raw WARC ingestion — no reference copy)
+            # means "nothing to verify", not "mismatch": extract_ok stays
+            # True so the byte-identity counter only counts real drift
+            out["extract_ok"] = [
+                True if b is None else a == b for a, b in zip(ext, pdf["text"])
+            ]
             yield out
 
     return webtext.mapInPandas(

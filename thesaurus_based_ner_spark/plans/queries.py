@@ -1052,13 +1052,19 @@ _ONT_VALUES = ", ".join(f"('{c}', '{p}')" for c, p in LABEL_ONTOLOGY)
 
 @q(
     "inferred_type_triples",
-    oracle=_MENTION_CTE
+    # WITH RECURSIVE so the oracle's closure is depth-independent like
+    # graph.ancestor_closure under test (a fixed unrolling would break on
+    # a deeper LABEL_ONTOLOGY even though the engine is right)
+    oracle=_MENTION_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
     + f""",
     ont(child, parent) AS (VALUES {_ONT_VALUES}),
-    anc AS (
-      SELECT child AS node, parent AS anc FROM ont
+    closure(node, anc) AS (
+      SELECT child, parent FROM ont
       UNION
-      SELECT o1.child, o2.parent FROM ont o1 JOIN ont o2 ON o1.parent = o2.child
+      SELECT c.node, o.parent FROM closure c JOIN ont o ON c.anc = o.child
+    ),
+    anc AS (
+      SELECT node, anc FROM closure
       UNION SELECT child, child FROM ont
       UNION SELECT parent, parent FROM ont
     ),

@@ -202,6 +202,22 @@ class Catalog:
         overwritten in the same job (Spark cannot overwrite a path it is
         scanning), and a crash mid-upsert leaves the old table intact.
         """
+        from pyspark.sql import functions as F
+
+        # incoming duplicates on the keys (a crawl batch re-fetching one
+        # url twice) would make the parquet path keep both rows and the
+        # Iceberg MERGE throw a cardinality violation — dedupe up front,
+        # deterministically (min of the remaining row), so both backends
+        # share one semantics: exactly one incoming row wins per key.
+        others = [c for c in df.columns if c not in keys]
+        if others:
+            df = (
+                df.groupBy(*keys)
+                .agg(F.min(F.struct(*others)).alias("__row"))
+                .select(*keys, "__row.*")
+            )
+        else:
+            df = df.dropDuplicates(keys)
         if not self.exists(name):
             return self.write(name, df, stage=stage or f"upsert:{name}")
         if self.use_iceberg:
@@ -221,8 +237,15 @@ class Catalog:
         merged = keep.unionByName(df.select(*existing.columns))
         tmp = f"{name}__upsert_tmp"
         self.write(tmp, merged, stage=stage or f"upsert:{name}")
-        shutil.rmtree(self.path(name))
+        # rename-aside swap: the live directory is never absent-without-
+        # replacement. A crash between the two renames leaves name missing
+        # but name__old complete — a recoverable state the naive
+        # rmtree-then-rename (old data already gone) cannot offer.
+        old = self.path(f"{name}__upsert_old")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.path(name), old)
         os.rename(self.path(tmp), self.path(name))
+        shutil.rmtree(old)
         meta = self._read_meta(tmp) or {}
         meta["table"] = name
         meta["stage"] = stage or f"upsert:{name}"

@@ -46,22 +46,28 @@ WARC_SCHEMA = StructType(
 )
 
 
-def parse_warc_records(data: bytes):
-    """Yield (url, warc_ts, payload) for each response record.
+_CHUNK = 1 << 20  # 1 MiB read granularity
 
-    Tolerant sequential parse: scan header blocks (terminated by
-    CRLFCRLF), honor Content-Length for the payload, skip non-response
-    records. Malformed trailing bytes end the scan rather than raising —
-    a truncated crawl file yields its complete prefix.
+
+def parse_warc_stream(f):
+    """Yield (url, warc_ts, payload) response records from a binary file
+    object, incrementally — memory held is one record's payload plus one
+    read chunk, never the whole file (Common Crawl segments are ~1 GB).
+
+    Tolerant sequential parse: header blocks terminated by CRLFCRLF,
+    payload sized by Content-Length, non-response records skipped.
+    Malformed or truncated trailing bytes end the scan rather than
+    raising — a truncated crawl file yields its complete prefix.
     """
-    pos = 0
-    n = len(data)
-    while pos < n:
-        head_end = data.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            return
-        header = data[pos:head_end].decode("utf-8", "replace")
-        lines = header.split("\r\n")
+    buf = b""
+    while True:
+        while b"\r\n\r\n" not in buf:
+            chunk = f.read(_CHUNK)
+            if not chunk:
+                return
+            buf += chunk
+        head, buf = buf.split(b"\r\n\r\n", 1)
+        lines = head.decode("utf-8", "replace").split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
             return
         fields = {}
@@ -73,14 +79,23 @@ def parse_warc_records(data: bytes):
             length = int(fields.get("content-length", ""))
         except ValueError:
             return
-        body_start = head_end + 4
-        body = data[body_start : body_start + length]
-        if len(body) < length:  # truncated mid-payload: drop the record
-            return
-        # records are separated by CRLFCRLF after the payload
-        pos = body_start + length
-        while data[pos : pos + 2] == b"\r\n":
-            pos += 2
+        while len(buf) < length:
+            chunk = f.read(max(_CHUNK, length - len(buf)))
+            if not chunk:
+                return  # truncated mid-payload: drop the record
+            buf += chunk
+        body, buf = buf[:length], buf[length:]
+        # consume inter-record CRLF separators (may straddle reads)
+        while True:
+            if buf[:2] == b"\r\n":
+                buf = buf[2:]
+            elif len(buf) < 2:
+                chunk = f.read(_CHUNK)
+                if not chunk:
+                    break
+                buf += chunk
+            else:
+                break
         if fields.get("warc-type") == "response":
             ts = None
             raw_ts = fields.get("warc-date", "")
@@ -91,6 +106,13 @@ def parse_warc_records(data: bytes):
             except ValueError:
                 pass
             yield fields.get("warc-target-uri"), ts, body
+
+
+def parse_warc_records(data: bytes):
+    """Buffer-compat wrapper over parse_warc_stream."""
+    import io
+
+    yield from parse_warc_stream(io.BytesIO(data))
 
 
 class _WarcPartition(InputPartition):
@@ -114,8 +136,7 @@ class _WarcReader(DataSourceReader):
 
     def read(self, partition):
         with open(partition.path, "rb") as f:
-            data = f.read()
-        yield from parse_warc_records(data)
+            yield from parse_warc_stream(f)
 
 
 class WarcDataSource(DataSource):
