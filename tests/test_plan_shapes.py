@@ -1,0 +1,104 @@
+"""Physical-plan regression guards.
+
+Correctness is gated by the DuckDB oracles; these tests gate the SCALE
+properties — the plan shapes that keep queries viable at 100 TB. A
+refactor that silently turns a broadcast join into a sort-merge join or
+doubles the corpus scans still passes the oracles; it fails here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(spark, name, sf_dir):
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def op_counts(plan: str) -> dict[str, int]:
+    ops: dict[str, int] = {}
+    for line in plan.splitlines():
+        m = re.match(r"^\s*\(\d+\) (\w+)", line)
+        if m:
+            ops[m.group(1)] = ops.get(m.group(1), 0) + 1
+    return ops
+
+
+def test_mention_spans_broadcasts_thesaurus(spark, sf_dir):
+    plan = plan_of(spark, "mention_spans", sf_dir)
+    ops = op_counts(plan)
+    assert ops.get("BroadcastHashJoin", 0) >= 1
+    assert ops.get("SortMergeJoin", 0) == 0, "thesaurus join must broadcast"
+    assert ops.get("CartesianProduct", 0) == 0
+
+
+def test_pricing_summary_prunes_columns_and_partial_aggs(spark, sf_dir):
+    plan = plan_of(spark, "pricing_summary", sf_dir)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:400]
+    read_cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    # 16-column lineitem: only the 5 referenced columns may be read
+    assert set(read_cols) == {
+        "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag", "l_linestatus",
+    }, read_cols
+    assert "partial_sum" in plan, "map-side combine must run before the shuffle"
+
+
+def test_mention_spans_pushes_lang_filter_to_scan(spark, sf_dir):
+    plan = plan_of(spark, "mention_spans", sf_dir)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), (m.group(0) if m else plan[:400])
+
+
+def test_tfidf_single_corpus_explode(spark, sf_dir):
+    plan = plan_of(spark, "tfidf_topk", sf_dir)
+    ops = op_counts(plan)
+    # one Generate = one posexplode of the corpus; the second scan is the
+    # column-pruned doc-count aggregate, never a second explode
+    assert ops.get("Generate", 0) == 1, ops
+    assert ops.get("Scan", 0) <= 2
+
+
+def test_dedup_minhash_has_no_product_join(spark, sf_dir):
+    plan = plan_of(spark, "dedup_minhash_lsh", sf_dir)
+    ops = op_counts(plan)
+    assert ops.get("CartesianProduct", 0) == 0
+    assert ops.get("BroadcastNestedLoopJoin", 0) == 0, (
+        "candidate generation must stay band-bucketed (equi-join)"
+    )
+
+
+def test_asof_is_single_key_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "asof_click_signup", sf_dir)
+    ops = op_counts(plan)
+    # union-sort formulation: signup pre-agg exchange + ONE key exchange
+    # for the window; a range-join rewrite would add joins
+    assert ops.get("SortMergeJoin", 0) == 0
+    assert ops.get("Exchange", 0) <= 2, ops
+    assert ops.get("Window", 0) == 1
+
+
+def test_revenue_rollup_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, "revenue_rollup", sf_dir)
+    ops = op_counts(plan)
+    assert ops.get("BroadcastHashJoin", 0) == 3
+    assert ops.get("SortMergeJoin", 0) == 0
+    assert ops.get("Expand", 0) == 1, "rollup must be one Expand pass"
+
+
+def test_boilerplate_phrases_one_unit_shuffle(spark, sf_dir):
+    plan = plan_of(spark, "boilerplate_phrases", sf_dir)
+    ops = op_counts(plan)
+    # spread repartition + doc window + phrase agg — and nothing more
+    assert ops.get("Exchange", 0) <= 3, ops
+    assert ops.get("HashAggregate", 0) >= 2, "phrase agg must partial-agg"
