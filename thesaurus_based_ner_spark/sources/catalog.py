@@ -230,17 +230,21 @@ class Catalog:
                 "WHEN NOT MATCHED THEN INSERT *"
             )
             return self.read(name)
-        import shutil
-
         existing = self.read(name)
         keep = existing.join(df.select(*keys).distinct(), keys, "left_anti")
         merged = keep.unionByName(df.select(*existing.columns))
+        return self._swap_write(name, merged, stage or f"upsert:{name}")
+
+    def _swap_write(self, name: str, merged: DataFrame, stage: str) -> DataFrame:
+        """Write merged to a sibling dir and swap it in via rename-aside:
+        the live directory is never absent-without-replacement (Spark
+        cannot overwrite a path it is scanning). A crash between the two
+        renames leaves name missing but name__old complete — recoverable,
+        unlike rmtree-then-rename where the old data is already gone."""
+        import shutil
+
         tmp = f"{name}__upsert_tmp"
-        self.write(tmp, merged, stage=stage or f"upsert:{name}")
-        # rename-aside swap: the live directory is never absent-without-
-        # replacement. A crash between the two renames leaves name missing
-        # but name__old complete — a recoverable state the naive
-        # rmtree-then-rename (old data already gone) cannot offer.
+        self.write(tmp, merged, stage=stage)
         old = self.path(f"{name}__upsert_old")
         shutil.rmtree(old, ignore_errors=True)
         os.rename(self.path(name), old)
@@ -248,11 +252,48 @@ class Catalog:
         shutil.rmtree(old)
         meta = self._read_meta(tmp) or {}
         meta["table"] = name
-        meta["stage"] = stage or f"upsert:{name}"
+        meta["stage"] = stage
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f, indent=1)
         os.remove(self._meta_path(tmp))
         return self.read(name)
+
+    def replace_groups(
+        self,
+        name: str,
+        df: DataFrame,
+        group_keys: list[str],
+        stage: str = "",
+    ) -> DataFrame:
+        """Group-wise replacement — the re-crawl refresh primitive when a
+        group owns a VARIABLE number of rows (all mentions/triples of a
+        url): every existing row whose group key appears in the incoming
+        frame is dropped, then ALL incoming rows are appended. Unlike
+        upsert (one row per key) this replaces whole row-sets, so a page
+        whose re-fetch yields fewer mentions sheds the stale ones.
+
+        Iceberg backend: DELETE on matching groups + append (two
+        snapshot-isolated commits). Parquet fallback: anti-join + union +
+        rename-aside swap, same crash guarantees as upsert.
+        """
+        if not self.exists(name):
+            return self.write(name, df, stage=stage or f"replace:{name}")
+        if self.use_iceberg:
+            view = f"__replace_src_{name}"
+            df.createOrReplaceTempView(view)
+            keys_sql = ", ".join(group_keys)
+            self.spark.sql(
+                f"DELETE FROM {self._table(name)} WHERE ({keys_sql}) IN "
+                f"(SELECT DISTINCT {keys_sql} FROM {view})"
+            )
+            df.writeTo(self._table(name)).append()
+            return self.read(name)
+        existing = self.read(name)
+        keep = existing.join(
+            df.select(*group_keys).distinct(), group_keys, "left_anti"
+        )
+        merged = keep.unionByName(df.select(*existing.columns))
+        return self._swap_write(name, merged, stage or f"replace:{name}")
 
     def materialize(
         self,
