@@ -154,3 +154,50 @@ def test_strict_prf_on_gold_conll(spark, tmp_path):
     assert row["n_gold"] == 4 and row["n_pred"] == 4 and row["tp"] == 3
     assert abs(row["precision"] - 0.75) < 1e-9
     assert abs(row["recall"] - 0.75) < 1e-9
+
+
+def test_tokenize_with_spans_two_spans_per_doc(spark):
+    # regression: the Arrow cell is a numpy array; 2+ spans must not hit
+    # ndarray truthiness
+    docs = spark.sql(
+        """SELECT '1' AS pmid, 'abc def ghi' AS text, array(
+             struct(CAST(0 AS BIGINT) AS c_start, CAST(3 AS BIGINT) AS c_end,
+                    'a' AS name, 'A' AS label),
+             struct(CAST(8 AS BIGINT) AS c_start, CAST(11 AS BIGINT) AS c_end,
+                    'g' AS name, 'G' AS label)) AS spans"""
+    )
+    row = gold.tokenize_with_spans_pdf(docs, ["pmid"]).collect()[0]
+    assert list(row["labels"]) == ["A", "G"]
+
+
+def test_pubtator_title_only_block(spark, tmp_path):
+    p = str(tmp_path / "t.pubtator")
+    with open(p, "w") as f:
+        f.write("789|t|Only title here\n\n")
+    out = gold.parse_pubtator_blocks(gold.read_pubtator_file(spark, p)).collect()
+    secs = {(r["pmid"], r["section"]): r["text"] for r in out}
+    assert secs[("789", "title")] == "Only title here"
+    # no abstract line -> empty abstract row or none, but NO crash
+    assert secs.get(("789", "abstract"), "") == ""
+
+
+def test_conll_trailing_space_keeps_field4_tag(spark, tmp_path):
+    p = str(tmp_path / "c.conll")
+    with open(p, "w") as f:
+        f.write("EU NNP B-NP B-ORG \nrejects VBZ B-VP O\n\n")
+    row = gold.parse_conll_blocks(gold.read_conll_file(spark, p)).collect()[0]
+    assert list(row["tags"]) == ["B-ORG", "O"]
+
+
+def test_translate_preserves_duplicate_gold_spans(spark):
+    toks = spark.sql(
+        "SELECT 1 AS id, array('We','study','tumor','cells') AS tokens"
+    )
+    spans = spark.sql(
+        """SELECT * FROM VALUES
+           (1, CAST(9 AS BIGINT), CAST(20 AS BIGINT), 'Disease'),
+           (1, CAST(9 AS BIGINT), CAST(20 AS BIGINT), 'Disease')
+           AS t(id, c_start, c_end, tag)"""
+    )
+    out = gold.translate_char_spans(spans, toks, ["id"]).collect()
+    assert len(out) == 2  # two identical annotations stay two rows

@@ -172,3 +172,15 @@ def test_few_shot_budget_respected(spark):
     # greedy: doc 2 first (2 spans, fits), then doc 1 (A budget 2-1=1 left);
     # doc 3 never fits (3 A > 2)
     assert picked == {1, 2}
+
+
+def test_minhash_rejects_degenerate_band_config(spark):
+    import pytest
+
+    from thesaurus_based_ner_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.sql("SELECT 1 AS id, 'a b c' AS text")
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(df, "id", "text", n_hashes=8, bands=16)
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(df, "id", "text", n_hashes=32, bands=5)

@@ -52,17 +52,9 @@ def shingles_df(
 ) -> DataFrame:
     """Distinct k-token shingles per doc: (id, shingle)."""
     toks = _tokens(text_col)
-    sh = F.expr(
-        f"""
-        array_distinct(
-          IF(size(__toks) < {k}, array(concat_ws(' ', __toks)),
-             transform(sequence(1, size(__toks) - {k} + 1), i ->
-               concat_ws(' ', slice(__toks, i, {k})))))
-        """
-    )
     return (
         df.select(F.col(id_col).alias("id"), toks.alias("__toks"))
-        .select("id", F.explode(sh).alias("shingle"))
+        .select("id", F.explode(_shingle_col(k)).alias("shingle"))
     )
 
 
@@ -160,6 +152,12 @@ def minhash_lsh_pairs(
     stack is deterministic, so a recall verified at a given dataset holds
     forever on that dataset.
     """
+    if bands > n_hashes or n_hashes % bands != 0:
+        # rows == 0 would hash an EMPTY slice per band — every doc lands
+        # in one bucket and the candidate join degenerates to all-pairs
+        raise ValueError(
+            f"bands ({bands}) must divide n_hashes ({n_hashes})"
+        )
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
     band_cols = F.explode(
@@ -276,7 +274,15 @@ def simhash_pairs(
     candidates are provably a superset; exact hamming verification then
     makes the result identical to the brute-force oracle.
     """
-    h = simhash_table(df, id_col, text_col, k).cache()
+    # localCheckpoint, not cache(): the returned frame is lazy, so the
+    # caller can never unpersist at the right moment — checkpoint RDDs
+    # are GC-reclaimed with the frame, cached plans pin executor storage
+    # for the session
+    h = simhash_table(df, id_col, text_col, k)
+    try:
+        h = h.localCheckpoint(eager=True)
+    except Exception:
+        pass  # fall back to recompute-per-reference
     blocks = None
     for j in range(4):
         blk = h.select(

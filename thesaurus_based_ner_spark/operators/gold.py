@@ -60,10 +60,15 @@ def parse_conll_blocks(
     )
     parsed = blocks.select(
         F.col(id_col),
-        F.transform(lines, lambda l: F.split(l, " ").getItem(0)).alias("tokens"),
-        F.transform(lines, lambda l: F.element_at(F.split(l, " "), -1)).alias(
-            "tags"
-        ),
+        F.transform(
+            lines, lambda l: F.split(F.trim(l), r"\s+").getItem(0)
+        ).alias("tokens"),
+        # tag = field 4 per the reference, NOT the last field: a trailing
+        # space would make element_at(.., -1) return '' and fabricate an
+        # empty-label span downstream
+        F.transform(
+            lines, lambda l: F.split(F.trim(l), r"\s+").getItem(3)
+        ).alias("tags"),
     ).filter(F.size("tokens") > 0)
     if drop_docstart:
         parsed = parsed.filter(F.col("tokens").getItem(0) != "-DOCSTART-")
@@ -127,9 +132,11 @@ def parse_pubtator_blocks(blocks: DataFrame, block_col: str = "block") -> DataFr
         "substring(element_at(__lines, 1),"
         " length(split_part(element_at(__lines, 1), '|', 1)) + 4)"
     )
+    # try_element_at: a title-only block (no abstract line — real corpora
+    # have them) must parse, not abort the scan under ANSI out-of-bounds
     abstract = F.expr(
-        "substring(element_at(__lines, 2),"
-        " length(split_part(element_at(__lines, 2), '|', 1)) + 4)"
+        "coalesce(substring(try_element_at(__lines, 2),"
+        " length(split_part(try_element_at(__lines, 2), '|', 1)) + 4), '')"
     )
     span_lines = F.expr("slice(__lines, 3, greatest(size(__lines) - 2, 0))")
     spans = F.transform(
@@ -214,6 +221,13 @@ def translate_char_spans(
     range join resolved with a groupBy-max (no cross join).
     """
     offs = token_char_offsets(tokenized, id_cols, tokens_col)
+    # duplicate gold annotations (e.g. PubTator lines differing only by a
+    # CUI this parser drops) must survive translation: number identical
+    # rows so the final groupBy can't collapse them (identical rows are
+    # interchangeable, so the arbitrary-within-ties numbering is
+    # deterministic in effect)
+    w_dup = Window.partitionBy(*char_spans.columns).orderBy(F.lit(1))
+    char_spans = char_spans.withColumn("__dup", F.row_number().over(w_dup))
     ends = offs.select(
         *id_cols,
         F.col("c_end").alias("__ce"),
@@ -245,7 +259,7 @@ def translate_char_spans(
     )
     return snapped.select(
         *span_cols, F.col("m_start").cast("bigint"), "m_end"
-    )
+    ).drop("__dup")
 
 
 def tokenize_with_spans_pdf(
@@ -286,9 +300,14 @@ def tokenize_with_spans_pdf(
             out_rows = []
             for _, row in pdf.iterrows():
                 text = row[text_col]
+                # Arrow hands the array<struct> cell over as a numpy
+                # ndarray; `or []` would bool() it and raise for 2+ spans
+                cell = row[spans_col]
+                if cell is None or len(cell) == 0:
+                    cell = []
                 spans = sorted(
                     (int(s["c_start"]), int(s["c_end"]), s["label"])
-                    for s in (row[spans_col] or [])
+                    for s in cell
                 )
                 # raw-text token boundaries from the pinned tokenizer
                 bounds = []  # (c_start, c_end)

@@ -37,13 +37,16 @@ def _cos(a: str, b: str, dim: int | None = None):
             dot = dot + x * y
             na = na + x * x
             nb = nb + y * y
-        return dot / F.sqrt(na * nb)
+        # zero-norm guard: NaN outranks every real score under Spark's
+        # NaN-greatest ordering AND passes >= threshold filters — a
+        # zero embedding must score 0, not win top-k
+        return F.when(na * nb > 0, dot / F.sqrt(na * nb)).otherwise(F.lit(0.0))
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
     nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
-    return dot / F.sqrt(na * nb)
+    return F.when(na * nb > 0, dot / F.sqrt(na * nb)).otherwise(F.lit(0.0))
 
 
 def brute_force_topk(

@@ -1251,7 +1251,13 @@ def cosine_topk(spark, sf_dir):
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(dot / F.sqrt(nq * nc), 6).alias("cos"),
+            # zero-norm guard mirrors simsearch._cos (NaN would outrank
+            # every real neighbor); list_cosine_similarity in the oracle
+            # never sees a zero vector in this table either
+            F.round(
+                F.when(nq * nc > 0, dot / F.sqrt(nq * nc)).otherwise(F.lit(0.0)),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

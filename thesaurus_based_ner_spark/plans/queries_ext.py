@@ -61,28 +61,34 @@ def _run_spans(toks: DataFrame, mask) -> DataFrame:
     )
 
 
-def _run_sql(mask_sql: str) -> str:
-    """DuckDB CTE producing runs(doc_id, m_start, m_end) for a token mask."""
+def _run_sql(mask_sql: str, suffix: str = "") -> str:
+    """DuckDB CTE producing runs{suffix}(doc_id, m_start, m_end) for a
+    token mask. `suffix` disambiguates CTE names when several mask runs
+    share one statement — emitted directly, so there is no fragile
+    rename-by-str.replace step that silently no-ops on drift."""
+    x = suffix
     return f"""
-    docs AS (
+    docs{x} AS (
       SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
       FROM documents
     ),
-    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM docs),
-    marked AS (SELECT doc_id, p, toks[p] AS tok, {mask_sql} AS ok FROM pos),
-    lagged AS (
+    pos{x} AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+             FROM docs{x}),
+    marked{x} AS (SELECT doc_id, p, toks[p] AS tok, {mask_sql} AS ok
+                FROM pos{x}),
+    lagged{x} AS (
       SELECT *, COALESCE(LAG(ok) OVER (PARTITION BY doc_id ORDER BY p), false)
-             AS prev_ok FROM marked
+             AS prev_ok FROM marked{x}
     ),
-    grouped AS (
+    grouped{x} AS (
       SELECT *, SUM(CASE WHEN (NOT prev_ok) OR (NOT ok) THEN 1 ELSE 0 END)
              OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
-      FROM lagged
+      FROM lagged{x}
     ),
-    runs AS (
+    runs{x} AS (
       SELECT doc_id, CAST(MIN(p) - 1 AS BIGINT) AS m_start,
              CAST(MAX(p) AS BIGINT) AS m_end
-      FROM grouped WHERE ok GROUP BY doc_id, grp
+      FROM grouped{x} WHERE ok GROUP BY doc_id, grp
     )
     """
 
@@ -136,20 +142,7 @@ _GOLD_CTE = "WITH " + _run_sql(_GOLD_MASK_SQL) + f""",
 # gold + pred in one statement needs distinct CTE names
 def _dual_cte() -> str:
     g = _run_sql(_GOLD_MASK_SQL)
-    p = (
-        _run_sql(_PRED_MASK_SQL)
-        .replace("docs AS", "docs2 AS")
-        .replace("pos AS", "pos2 AS")
-        .replace("marked AS", "marked2 AS")
-        .replace("lagged AS", "lagged2 AS")
-        .replace("grouped AS", "grouped2 AS")
-        .replace("runs AS", "runs2 AS")
-        .replace("FROM docs", "FROM docs2")
-        .replace("FROM pos", "FROM pos2")
-        .replace("FROM marked", "FROM marked2")
-        .replace("FROM lagged", "FROM lagged2")
-        .replace("FROM grouped", "FROM grouped2")
-    )
+    p = _run_sql(_PRED_MASK_SQL, suffix="2")
     return f"""WITH {g},
     gold AS (SELECT doc_id, m_start, m_end, {_RUN_LABEL_SQL} AS label FROM runs),
     {p},
@@ -484,18 +477,7 @@ def eval_by_length(spark, sf_dir):
     "eval_negative_token",
     oracle=_dual_cte().replace("pred AS (", "pred_len AS (")
     + f""",
-    {_run_sql(_NC_MASK_SQL)
-        .replace("docs AS", "docs3 AS")
-        .replace("pos AS", "pos3 AS")
-        .replace("marked AS", "marked3 AS")
-        .replace("lagged AS", "lagged3 AS")
-        .replace("grouped AS", "grouped3 AS")
-        .replace("runs AS", "runs3 AS")
-        .replace("FROM docs", "FROM docs3")
-        .replace("FROM pos", "FROM pos3")
-        .replace("FROM marked", "FROM marked3")
-        .replace("FROM lagged", "FROM lagged3")
-        .replace("FROM grouped", "FROM grouped3")},
+    {_run_sql(_NC_MASK_SQL, suffix="3")},
     tokpos AS (
       SELECT doc_id, unnest(range(0, len(toks))) AS t FROM docs
     ),
@@ -542,18 +524,7 @@ def eval_negative_token(spark, sf_dir):
     "eval_fp_analysis",
     oracle=_dual_cte()
     + f""",
-    {_run_sql(_NC_MASK_SQL)
-        .replace("docs AS", "docs3 AS")
-        .replace("pos AS", "pos3 AS")
-        .replace("marked AS", "marked3 AS")
-        .replace("lagged AS", "lagged3 AS")
-        .replace("grouped AS", "grouped3 AS")
-        .replace("runs AS", "runs3 AS")
-        .replace("FROM docs", "FROM docs3")
-        .replace("FROM pos", "FROM pos3")
-        .replace("FROM marked", "FROM marked3")
-        .replace("FROM lagged", "FROM lagged3")
-        .replace("FROM grouped", "FROM grouped3")},
+    {_run_sql(_NC_MASK_SQL, suffix="3")},
     pred_all AS (
       SELECT doc_id, m_start, m_end, label FROM pred
       UNION ALL
@@ -633,13 +604,16 @@ def negative_spans_enumerated(spark, sf_dir):
     neg = evalmetrics.enumerated_negative_spans(
         toks, gold_spans, ["doc_id"], max_len=4
     )
-    # candidate count per doc, computed from the SAME enumeration operator
-    cand_counts = (
-        evalmetrics.enumerated_negative_spans(
-            toks, gold_spans.limit(0), ["doc_id"], max_len=4
-        )
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_candidates"))
+    # candidate count per doc in closed form — Σ_{i<n} min(4, n-i) is
+    # 4n-6 for n≥4 else n(n+1)/2 — instead of re-running the span
+    # explosion a second time just to count it
+    n = F.size("tokens").cast("bigint")
+    cand_counts = toks.select(
+        "doc_id",
+        F.when(n >= 4, 4 * n - 6)
+        .otherwise(n * (n + 1) / 2)
+        .cast("bigint")
+        .alias("n_candidates"),
     )
     neg_counts = neg.groupBy("doc_id").agg(F.count("*").alias("n_negative"))
     return (
@@ -706,18 +680,7 @@ def oracle_term_dedup(spark, sf_dir):
         " FROM runs2)",
     )
     + f""",
-    {_run_sql(_NC_MASK_SQL)
-        .replace("docs AS", "docs3 AS")
-        .replace("pos AS", "pos3 AS")
-        .replace("marked AS", "marked3 AS")
-        .replace("lagged AS", "lagged3 AS")
-        .replace("grouped AS", "grouped3 AS")
-        .replace("runs AS", "runs3 AS")
-        .replace("FROM docs", "FROM docs3")
-        .replace("FROM pos", "FROM pos3")
-        .replace("FROM marked", "FROM marked3")
-        .replace("FROM lagged", "FROM lagged3")
-        .replace("FROM grouped", "FROM grouped3")},
+    {_run_sql(_NC_MASK_SQL, suffix="3")},
     nc AS (SELECT doc_id, m_start, m_end, 'nc-V' AS label FROM runs3),
     nc_kept AS (
       SELECT n.* FROM nc n
