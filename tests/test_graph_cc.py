@@ -93,3 +93,11 @@ def test_pagerank_matches_dense_power_iteration(spark):
     assert set(got) == {f"n{v}" for v in nodes}
     for v in nodes:
         assert abs(got[f"n{v}"] - want[v]) < 1e-6, (v, got[f"n{v}"], want[v])
+
+
+def test_twostar_keeps_self_loop_only_nodes(spark):
+    # a node appearing only in self-loops must still emit as a singleton
+    e = _edges(spark, [(7, 7), (1, 2)])
+    assert _result(connected_components_twostar(e)) == _result(
+        connected_components(e)
+    ) == {(1, 1), (2, 1), (7, 7)}

@@ -116,7 +116,10 @@ def cmd_query(args) -> int:
     df = QUERIES[args.name](spark, args.sf_dir)
     if args.output:
         df.write.mode("overwrite").parquet(args.output)
-        print(json.dumps({"query": args.name, "rows": df.count(), "output": args.output}))
+        # count the WRITTEN parquet (footer metadata — no recompute of
+        # the query plan just to report a row count)
+        n = spark.read.parquet(args.output).count()
+        print(json.dumps({"query": args.name, "rows": n, "output": args.output}))
     else:
         df.show(args.limit, truncate=False)
     return 0

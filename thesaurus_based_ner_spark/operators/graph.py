@@ -236,8 +236,12 @@ def connected_components_twostar(
         sig = new_sig
     # fixpoint: (u, v) edges point nodes at their component min
     membership = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # singletons come from the ORIGINAL edge list: a node appearing only
+    # in self-loops was filtered out of `e` and must still be emitted as
+    # its own component (connected_components keeps it — same contract)
     roots = (
-        e.select("u").union(e.select(F.col("v")))
+        edges.select(F.col(a_col).alias("u"))
+        .union(edges.select(F.col(b_col).alias("u")))
         .distinct()
         .join(membership.select("node"), F.col("u") == F.col("node"), "left_anti")
         .select(F.col("u").alias("node"), F.col("u").alias("component"))

@@ -26,6 +26,8 @@ def balance_labels(df: DataFrame, label_col: str, seed: int) -> DataFrame:
     """Downsample every label to the minority-label count in expectation
     (P2: label balancing via per-label fractions from an A7 min agg)."""
     counts = {r[0]: r[1] for r in df.groupBy(label_col).count().collect()}
+    if not counts:  # empty input: nothing to balance
+        return df
     m = min(counts.values())
     fractions = {k: min(1.0, m / v) for k, v in counts.items()}
     return df.sampleBy(label_col, fractions, seed)
@@ -36,7 +38,10 @@ def seeded_take(df: DataFrame, n: int, seed: int, order_cols: list[str]) -> Data
     rand() (rand is partition-dependent; xxhash64 of key cols is not)."""
     return (
         df.withColumn("__r", F.xxhash64(*order_cols, F.lit(seed)))
-        .orderBy("__r")
+        # tie-break on the key columns: identical order_cols values hash
+        # identically, and a limit boundary inside a tie group would
+        # otherwise pick an arbitrary member per partitioning
+        .orderBy("__r", *order_cols)
         .limit(n)
         .drop("__r")
     )
@@ -126,8 +131,10 @@ def few_shot_sample(
     spark = spans.sparkSession
     if not picked:
         return spans.select(*id_cols).limit(0)
+    from thesaurus_based_ner_spark.sources.webtext import lit as _sql_lit
+
     body = ", ".join(
-        "(" + ", ".join(repr(v) for v in key) + ")" for key in picked
+        "(" + ", ".join(_sql_lit(v) for v in key) + ")" for key in picked
     )
     return spark.sql(
         f"SELECT * FROM VALUES {body} AS t({', '.join(id_cols)})"

@@ -161,6 +161,16 @@ def synth_ontology_edges(spark: SparkSession) -> DataFrame:
     return _values_df(spark, ONTOLOGY_EDGES, "child, parent")
 
 
+def lit(v) -> str:
+    """Escape one value as a Spark SQL literal (shared by every VALUES
+    builder — ad-hoc repr() drops backslashes and breaks on None)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return str(v)
+
+
 def _values_df(spark: SparkSession, rows, cols: str) -> DataFrame:
     """Tiny dim from driver-computed rows via SQL VALUES.
 
@@ -168,11 +178,6 @@ def _values_df(spark: SparkSession, rows, cols: str) -> DataFrame:
     workers on every materialization (a fork per partition — pathological
     on this sandbox, see SCALE.md); VALUES stays entirely JVM-side.
     """
-    def lit(v):
-        if isinstance(v, str):
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
-        return str(v)
-
     body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     return spark.sql(f"SELECT * FROM VALUES {body} AS t({cols})")
 

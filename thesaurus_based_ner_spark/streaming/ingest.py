@@ -17,10 +17,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from thesaurus_based_ner_spark.operators.mentions import (
     detect_mentions_df,
     thesaurus_with_case,
-    tokenize_df,
 )
 from thesaurus_based_ner_spark.sources.webtext import WEBTEXT_SCHEMA
-from thesaurus_based_ner_spark.functions.text import SENT_SPLIT_RE
 
 
 def ingest_available_now(
@@ -39,14 +37,17 @@ def ingest_available_now(
         spark.readStream.schema(WEBTEXT_SCHEMA).parquet(webtext_dir)
     )
 
+    from thesaurus_based_ner_spark.plans.pipeline import sentence_stage
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        snts = batch_df.filter(F.col("lang") == "en").select(
-            "url",
-            F.posexplode(F.split("text", SENT_SPLIT_RE)).alias("snt_id", "snt"),
+        # the batch pipeline's own sentence stage — one canonical
+        # implementation, so batch and stream cannot drift
+        mentions = detect_mentions_df(
+            sentence_stage(batch_df), th, ["url", "snt_id"]
         )
-        toks = tokenize_df(snts.filter(F.length("snt") > 0), "snt").drop("snt")
-        mentions = detect_mentions_df(toks, th, ["url", "snt_id"])
-        mentions.write.mode("append").parquet(out_dir)
+        # foreachBatch is at-least-once: a retried epoch must OVERWRITE
+        # its own partition, not append a second copy
+        mentions.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     q = (
         stream.writeStream.foreachBatch(process)
@@ -64,7 +65,9 @@ def windowed_event_counts_stream(
     by the caller (tests use processAllAvailable)."""
     ev = spark.readStream.schema(schema).parquet(events_dir)
     return (
-        ev.withWatermark("ts", "1 hour")
+        # parquet timestamps are NTZ; watermarks require TIMESTAMP
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", gap), "event_type")
         .agg(F.count("*").alias("n"))
         .select(
@@ -104,7 +107,8 @@ def streaming_dedup_first_seen(
         .parquet(docs_dir)
         .withColumn("__h", F.md5(F.col(text_col)))
     )
-    out_type = f"__h string, {id_col} bigint"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_type = f"__h string, {id_col} {id_type}"
 
     def first_seen(key, pdfs, state: GroupState):
         import pandas as pd
@@ -113,11 +117,14 @@ def streaming_dedup_first_seen(
             for _ in pdfs:  # drain; already emitted for this hash
                 pass
             return
+        # min across EVERY Arrow chunk — a >batch-size group arrives as
+        # several pandas frames and the minimum may sit in a later one
         first_id = None
         for pdf in pdfs:
-            if len(pdf) and first_id is None:
-                pdf = pdf.sort_values(id_col)
-                first_id = int(pdf[id_col].iloc[0])
+            if len(pdf):
+                m = pdf[id_col].min()
+                if first_id is None or m < first_id:
+                    first_id = m
         if first_id is not None:
             state.update((1,))
             yield pd.DataFrame({"__h": [key[0]], id_col: [first_id]})
