@@ -123,7 +123,10 @@ def build_matcher(term2label: dict[str, str], tokenizer) -> TokenTrie:
     """Build the broadcastable trie from a term → label dict."""
     cs_terms, _ = split_case_sensitivity(list(term2label))
     trie = TokenTrie()
-    for term, label in term2label.items():
+    # sorted insertion: colliding tokenized forms resolve to the
+    # lexicographically LAST term, the same dedup rule the DF strategy's
+    # thesaurus_with_case applies — dict order would break strategy parity
+    for term, label in sorted(term2label.items()):
         trie.insert(tokenizer(term), label, case_sensitive=term in cs_terms)
     return trie
 

@@ -54,10 +54,16 @@ def strict_prf_by_label(
 ) -> DataFrame:
     """Per-label strict P/R/F1 (reference per-label breakdown)."""
     keys = id_cols + ["m_start", "m_end", "label"]
+    # multiset tp = Σ least(pred count, gold count) per span key — the
+    # same semantics as strict_prf; a left-semi count would let duplicate
+    # pred rows each score against one gold row (recall could exceed 1)
+    pc = pred.groupBy(*keys).agg(F.count("*").alias("__np"))
+    gc = gold.groupBy(*keys).agg(F.count("*").alias("__ng"))
     tp = (
-        pred.join(gold, keys, "left_semi")
+        pc.join(gc, keys)
+        .select("label", F.least("__np", "__ng").alias("__tp"))
         .groupBy("label")
-        .agg(F.count("*").alias("tp"))
+        .agg(F.sum("__tp").alias("tp"))
     )
     np_ = pred.groupBy("label").agg(F.count("*").alias("n_pred"))
     ng = gold.groupBy("label").agg(F.count("*").alias("n_gold"))
@@ -106,9 +112,16 @@ def lenient_prf(pred: DataFrame, gold: DataFrame, id_cols: list[str]) -> DataFra
         F.col("g.m_start"), F.col("g.m_end"), F.col("g.label"),
     )
     both = F.col("p.m_start").isNotNull() & F.col("g.m_start").isNotNull()
+    # guard: an unmatched outer row yields struct(NULL,...) which is
+    # itself NON-null, so bare countDistinct(pkey) would count a phantom
+    # pred per unmatched gold (and vice versa), inflating n_pred/n_gold
     agg = p.join(g, cond, "full").agg(
-        F.countDistinct(pkey).alias("n_pred"),
-        F.countDistinct(gkey).alias("n_gold"),
+        F.countDistinct(
+            F.when(F.col("p.m_start").isNotNull(), pkey)
+        ).alias("n_pred"),
+        F.countDistinct(
+            F.when(F.col("g.m_start").isNotNull(), gkey)
+        ).alias("n_gold"),
         F.countDistinct(F.when(both, pkey)).alias("pred_overlapped"),
         F.countDistinct(F.when(both, gkey)).alias("gold_overlapped"),
     )
@@ -228,19 +241,29 @@ def negative_token_prf(
         )
         p_neg = tokens.join(covered, id_cols + ["pos"], "left_anti")
     keys = id_cols + ["pos"]
-    tp = p_neg.join(g_neg, keys, "left_semi").count()
-    n_p = p_neg.count()
-    n_g = g_neg.count()
-    prec = tp / n_p if (tp and n_p) else 0.0
-    rec = tp / n_g if (tp and n_g) else 0.0
-    f1 = 2 / (1 / prec + 1 / rec) if (prec and rec) else 0.0
-    spark = tokens.sparkSession
-    return spark.sql(
-        f"SELECT CAST({n_p} AS BIGINT) AS n_pred_neg,"
-        f" CAST({n_g} AS BIGINT) AS n_gold_neg, CAST({tp} AS BIGINT) AS tp,"
-        f" ROUND(CAST({prec} AS DOUBLE), 6) AS precision,"
-        f" ROUND(CAST({rec} AS DOUBLE), 6) AS recall,"
-        f" ROUND(CAST({f1} AS DOUBLE), 6) AS f1"
+    # one job: full-outer join of the two negative-token sets, indicator
+    # sums — the previous three separate .count() actions re-ran the
+    # interval joins from scratch per metric
+    pi = p_neg.select(*keys).withColumn("__p", F.lit(1))
+    gi = g_neg.select(*keys).withColumn("__g", F.lit(1))
+    agg = pi.join(gi, keys, "full").agg(
+        F.sum("__p").alias("n_p"),
+        F.sum("__g").alias("n_g"),
+        F.sum(F.when(F.col("__p").isNotNull() & F.col("__g").isNotNull(), 1)
+              .otherwise(0)).alias("tp"),
+    )
+    n_p_ = F.coalesce(F.col("n_p"), F.lit(0))
+    n_g_ = F.coalesce(F.col("n_g"), F.lit(0))
+    prec = F.when(n_p_ > 0, F.col("tp") / n_p_).otherwise(0.0)
+    rec = F.when(n_g_ > 0, F.col("tp") / n_g_).otherwise(0.0)
+    f1 = F.when((prec + rec) > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0)
+    return agg.select(
+        n_p_.cast("bigint").alias("n_pred_neg"),
+        n_g_.cast("bigint").alias("n_gold_neg"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
     )
 
 
@@ -360,7 +383,9 @@ def enumerated_negative_spans(
     max_len × |tokens| rows); the subtraction is a left-anti join on the
     span key. Both engines run the same SQL shape.
     """
-    cand = sentences.select(
+    # sequence(0, -1) counts DOWN for empty token arrays, fabricating
+    # negative-offset spans — guard empties out before enumerating
+    cand = sentences.filter(F.size(tokens_col) > 0).select(
         *id_cols,
         F.explode(
             F.expr(

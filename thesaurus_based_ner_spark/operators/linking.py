@@ -40,8 +40,16 @@ def link_mentions(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
     share the max anchor_count the mention stays unlinked (entity NULL) —
     reference term2cat.py:135-163 skips ambiguous weighted ties.
     """
-    cand = candidates.select(
-        F.lower("surface").alias("__surf"), "entity", "anchor_count"
+    # lowercasing can merge two casings of one surface: counts for the
+    # SAME entity must be summed (else one entity reached via 'USA' and
+    # 'usa' looks like a 2-way tie with itself and the mention is
+    # wrongly left unlinked), and rival entities rank on combined counts
+    cand = (
+        candidates.select(
+            F.lower("surface").alias("__surf"), "entity", "anchor_count"
+        )
+        .groupBy("__surf", "entity")
+        .agg(F.sum("anchor_count").alias("anchor_count"))
     )
     # per surface: best entity, count of candidates at the max score
     w = Window.partitionBy("__surf")

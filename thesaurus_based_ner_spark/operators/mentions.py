@@ -58,6 +58,8 @@ def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
     createDataFrame would round-trip through python parallelize workers on
     every call; VALUES stays JVM-only.
     """
+    if not term2label:
+        raise ValueError("term2label must be non-empty")
     cs_terms, _ = split_case_sensitivity(list(term2label))
     # Distinct terms can tokenize to the SAME joined form (whitespace
     # variants); the trie's sorted insertion makes the lexicographically
@@ -65,9 +67,14 @@ def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
     # strategies share one term→label map.
     by_key: dict[tuple[str, bool], tuple[str, str]] = {}
     for term, label in sorted(term2label.items()):
-        joined = " ".join(tokenize(term))
+        toks0 = tokenize(term)
+        if not toks0:  # zero-token term: trie skips it; DF path would
+            continue   # emit zero-width mentions at every position
+        joined = " ".join(toks0)
         cs = term in cs_terms
         by_key[(joined if cs else joined.lower(), cs)] = (term, label)
+    if not by_key:
+        raise ValueError("no term tokenizes to a non-empty form")
     rows = []
     for term, label in sorted(by_key.values()):
         toks = tokenize(term)

@@ -235,6 +235,12 @@ def singularize(word: str) -> str:
     if lw.endswith("ies") and len(lw) > 3:
         return word[:-3] + "y"
     if lw.endswith("ves") and len(lw) > 3:
+        # -ves inverts two pluralization rules: knife→knives ('fe') and
+        # leaf→leaves ('f'). English -ives plurals come from -ife nouns
+        # (knife, wife, life), so invert those to 'fe' — a blanket 'f'
+        # would inject corrupt surfaces like 'knif' into the dictionary
+        if lw.endswith("ives"):
+            return word[:-3] + "fe"
         return word[:-3] + "f"
     if lw.endswith(("ses", "xes", "zes", "ches", "shes")):
         return word[:-2]
@@ -343,6 +349,21 @@ def remove_anomaly_suffix_terms(term2cat: DataFrame) -> DataFrame:
 
 # --- negative-category derivation (SO1) + hierarchy selection (W6) -----------
 
+def _cat_values(spark, cats) -> "DataFrame":
+    """1-column dim from a category list — escaped (apostrophes are
+    routine in DBpedia/UMLS names) and empty-safe."""
+    from thesaurus_based_ner_spark.sources.webtext import lit as _sql_lit
+
+    cats = sorted(set(cats))
+    if not cats:
+        return spark.sql("SELECT CAST(NULL AS STRING) AS cat WHERE false")
+    return spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"({_sql_lit(c)})" for c in cats)
+        + " AS t(cat)"
+    )
+
+
 def umls_negative_cats(
     edges: DataFrame, focus_cats: list[str], child_col: str = "child",
     parent_col: str = "parent",
@@ -358,11 +379,7 @@ def umls_negative_cats(
     from thesaurus_based_ner_spark.operators.graph import ancestor_closure
 
     spark = edges.sparkSession
-    focus = spark.sql(
-        "SELECT * FROM VALUES "
-        + ", ".join(f"('{c}')" for c in sorted(set(focus_cats)))
-        + " AS t(cat)"
-    )
+    focus = _cat_values(spark, focus_cats)
     closure = ancestor_closure(edges, child_col, parent_col, include_self=True)
     ascendants = (
         closure.join(focus, closure["node"] == focus["cat"], "left_semi")
@@ -397,11 +414,7 @@ def negative_cats_from_positive(
     from thesaurus_based_ner_spark.operators.graph import ancestor_closure
 
     spark = edges.sparkSession
-    pos = spark.sql(
-        "SELECT * FROM VALUES "
-        + ", ".join(f"('{c}')" for c in sorted(set(positive_cats)))
-        + " AS t(cat)"
-    )
+    pos = _cat_values(spark, positive_cats)
     closure = ancestor_closure(edges, child_col, parent_col, include_self=True)
     # nodes whose subtree (descendants incl self) holds a positive
     has_pos = (

@@ -171,6 +171,21 @@ def _fp(*parts) -> str:
     return hashlib.md5(json.dumps(parts, sort_keys=True, default=str).encode()).hexdigest()
 
 
+def _df_digest(df: DataFrame | None) -> str:
+    """Order-insensitive content digest of a dim table (count + xor of
+    row hashes) — one tiny job, so the resume fingerprint can cover the
+    anchor/redirect inputs: without it, rerunning with an updated anchor
+    table silently reuses stale candidates/canonical checkpoints."""
+    if df is None:
+        return "none"
+    row = (
+        df.select(F.xxhash64(*df.columns).alias("__h"))
+        .agg(F.count("*").alias("n"), F.expr("bit_xor(__h)").alias("x"))
+        .collect()[0]
+    )
+    return f"{row['n']}:{row['x']}"
+
+
 def run_pipeline(
     spark: SparkSession,
     catalog: Catalog,
@@ -202,7 +217,10 @@ def run_pipeline(
     resume granularity).
     """
     th_fp = _fp(sorted(term2label.items()))
-    base_fp = _fp(corpus_fingerprint, th_fp, strategy)
+    base_fp = _fp(
+        corpus_fingerprint, th_fp, strategy,
+        _df_digest(anchor), _df_digest(redirects),
+    )
 
     # The DAG has two independent branches:
     #   docs:  webtext → extracted → sentences → mentions
