@@ -97,19 +97,30 @@ def type_chunks_suffix(chunks: DataFrame, thesaurus: DataFrame) -> DataFrame:
     """
     th = thesaurus.select(
         F.col("joined_lower").alias("__t"),
+        F.col("joined").alias("__j"),
+        F.col("cs").alias("__cs"),
         F.col("n_tokens").alias("__n"),
         "label",
     )
-    cond = (F.lower(F.col("surface")) == F.col("__t")) | F.lower(
-        F.col("surface")
-    ).endswith(F.concat(F.lit(" "), F.col("__t")))
+    # honor the case-sensitivity split (string_match.py:91-140): a cs
+    # term (acronym) must match the chunk suffix EXACTLY, the ci form
+    # matches lowercased — the same rule detect_mentions_df applies, so
+    # the two matcher paths agree on acronym chunks
+    lo = F.lower(F.col("surface"))
+    ci_hit = (lo == F.col("__t")) | lo.endswith(
+        F.concat(F.lit(" "), F.col("__t"))
+    )
+    cs_hit = (F.col("surface") == F.col("__j")) | F.col("surface").endswith(
+        F.concat(F.lit(" "), F.col("__j"))
+    )
+    cond = (F.col("__cs") & cs_hit) | (~F.col("__cs") & ci_hit)
     typed = chunks.join(F.broadcast(th), cond, "inner")
     id_like = [c for c in chunks.columns if c != "surface"]
     w = Window.partitionBy(*id_like).orderBy(F.col("__n").desc(), "label")
     return (
         typed.withColumn("__rk", F.row_number().over(w))
         .filter("__rk = 1")
-        .drop("__rk", "__t", "__n")
+        .drop("__rk", "__t", "__j", "__cs", "__n")
     )
 
 

@@ -77,10 +77,10 @@ def remove_misguided_fns(spans: DataFrame, id_cols: list[str]) -> DataFrame:
         F.col("m_end").alias("__me"),
     )
     keep_plain = spans.filter(
-        (F.col("label") != "MISGUIDANCE") & ~F.col("label").startswith("nc")
+        (F.col("label") != "MISGUIDANCE") & ~F.col("label").startswith("nc-")
     )
     nc = spans.filter(
-        (F.col("label") != "MISGUIDANCE") & F.col("label").startswith("nc")
+        (F.col("label") != "MISGUIDANCE") & F.col("label").startswith("nc-")
     )
     cond = (F.col("m_start") < F.col("__me")) & (F.col("__ms") < F.col("m_end"))
     for c in id_cols:
@@ -112,17 +112,28 @@ def msmlc_dataset(
             ).alias("__sp")
         )
     )
-    out = sentences.join(packed, id_cols, "inner").select(
-        *id_cols,
-        "tokens",
-        F.transform("__sp", lambda s: s["m_start"]).alias("starts"),
-        F.transform("__sp", lambda s: s["m_end"]).alias("ends"),
-        F.transform("__sp", lambda s: s["labels"]).alias("labels"),
-        *(
-            [F.transform("__sp", lambda s: s["weights"]).alias("weights")]
-            if with_weight
-            else []
-        ),
+    # LEFT join + empty-array fill: a sentence with zero mentions is a
+    # fully-negative training example the reference keeps (empty parallel
+    # arrays), not a row to drop
+    empty = F.expr(
+        "CAST(array() AS ARRAY<STRUCT<m_start: BIGINT, m_end: BIGINT,"
+        " labels: ARRAY<STRING>, weights: ARRAY<DOUBLE>>>)"
+    )
+    out = (
+        sentences.join(packed, id_cols, "left")
+        .withColumn("__sp", F.coalesce("__sp", empty))
+        .select(
+            *id_cols,
+            "tokens",
+            F.transform("__sp", lambda s: s["m_start"]).alias("starts"),
+            F.transform("__sp", lambda s: s["m_end"]).alias("ends"),
+            F.transform("__sp", lambda s: s["labels"]).alias("labels"),
+            *(
+                [F.transform("__sp", lambda s: s["weights"]).alias("weights")]
+                if with_weight
+                else []
+            ),
+        )
     )
     return out
 
@@ -141,18 +152,17 @@ def greedy_bio_spans(
     id). Ties on prob break by (m_start, m_end, label) for determinism.
     """
     pos = spans.filter(~F.col("label").startswith("nc-"))
+    # ascending sort on (-p, s, e, l) = p DESC, then m_start/m_end/label
+    # ASC — reverse(array_sort(...)) would flip the LABEL tie-break to
+    # descending, diverging from the documented order and the SQL oracle
     packed = pos.groupBy(*id_cols).agg(
-        F.reverse(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(prob_col).alias("p"),
-                        (-F.col("m_start")).alias("ns"),
-                        (-F.col("m_end")).alias("ne"),
-                        F.col("m_start").alias("s"),
-                        F.col("m_end").alias("e"),
-                        F.col("label").alias("l"),
-                    )
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col(prob_col)).alias("np"),
+                    F.col("m_start").alias("s"),
+                    F.col("m_end").alias("e"),
+                    F.col("label").alias("l"),
                 )
             )
         ).alias("__cand")

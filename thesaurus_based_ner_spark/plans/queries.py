@@ -136,7 +136,10 @@ def region_revenue(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast HINT on customer: it is fact-sized (SF x 150k
+        # rows); the cost model broadcasts it while small and AQE/SMJ
+        # takes over at real SF, where a forced broadcast would OOM
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -170,7 +173,10 @@ def top_customers_per_nation(spark, sf_dir):
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     tot = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast HINT on customer: it is fact-sized (SF x 150k
+        # rows); the cost model broadcasts it while small and AQE/SMJ
+        # takes over at real SF, where a forced broadcast would OOM
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_nationkey", "c_custkey")
         .agg(dsum("o_totalprice", "spend"))
     )
@@ -272,7 +278,8 @@ def suffix_anomaly(spark, sf_dir):
     p = T(spark, sf_dir, "part")
     names = p.select(F.col("p_name").alias("term")).distinct()
     heads = (
-        p.select(F.element_at(F.split("p_name", " "), 2).alias("term"))
+        # try_element_at: single-word names must skip, not abort (ANSI)
+        p.select(F.expr("try_element_at(split(p_name, ' '), 2)").alias("term"))
         .filter(F.col("term").isNotNull() & (F.col("term") != ""))
         .distinct()
     )
@@ -526,8 +533,10 @@ def overlap_group_resolution(spark, sf_dir):
     SELECT CAST((SELECT COUNT(*) FROM pred) AS BIGINT) AS n_pred,
            CAST((SELECT COUNT(*) FROM gold) AS BIGINT) AS n_gold,
            CAST((SELECT n FROM i) AS BIGINT) AS n_inter,
-           ROUND((SELECT n FROM i) * 1.0 / (SELECT COUNT(*) FROM pred), 6) AS precision,
-           ROUND((SELECT n FROM i) * 1.0 / (SELECT COUNT(*) FROM gold), 6) AS recall
+           ROUND(COALESCE((SELECT n FROM i) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM pred), 0), 0.0), 6) AS precision,
+           ROUND(COALESCE((SELECT n FROM i) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM gold), 0), 0.0), 6) AS recall
     """,
 )
 def set_prf_click_purchase(spark, sf_dir):
@@ -543,8 +552,18 @@ def set_prf_click_purchase(spark, sf_dir):
             "n_pred",
             "n_gold",
             "n_inter",
-            F.round(F.col("n_inter") * 1.0 / F.col("n_pred"), 6).alias("precision"),
-            F.round(F.col("n_inter") * 1.0 / F.col("n_gold"), 6).alias("recall"),
+            # zero guards: an empty side must read 0.0, not NaN (Spark)
+            # or a division error (the oracle's DECIMAL path)
+            F.round(
+                F.when(F.col("n_pred") > 0,
+                       F.col("n_inter") * 1.0 / F.col("n_pred")).otherwise(0.0),
+                6,
+            ).alias("precision"),
+            F.round(
+                F.when(F.col("n_gold") > 0,
+                       F.col("n_inter") * 1.0 / F.col("n_gold")).otherwise(0.0),
+                6,
+            ).alias("recall"),
         )
     )
 
@@ -626,7 +645,10 @@ def revenue_rollup(spark, sf_dir):
     n = T(spark, sf_dir, "nation")
     r = T(spark, sf_dir, "region")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast HINT on customer: it is fact-sized (SF x 150k
+        # rows); the cost model broadcasts it while small and AQE/SMJ
+        # takes over at real SF, where a forced broadcast would OOM
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -1234,39 +1256,16 @@ def dedup_simhash(spark, sf_dir):
     """,
 )
 def cosine_topk(spark, sf_dir):
+    # delegate to the operator under test — it IS what this oracle
+    # verifies, and its unrolled fixed-dim cosine stays in codegen where
+    # an inline HOF re-implementation would run interpreted
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     qv = e.filter("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
-    dot = F.aggregate(
-        F.zip_with("qe", "e", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
-    nq = F.aggregate("qe", F.lit(0.0), lambda acc, x: acc + x * x)
-    nc = F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
-    sims = (
-        F.broadcast(qv)
-        .join(e, qv.query_id != e.vec_id)
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            # zero-norm guard mirrors simsearch._cos (NaN would outrank
-            # every real neighbor); list_cosine_similarity in the oracle
-            # never sees a zero vector in this table either
-            F.round(
-                F.when(nq * nc > 0, dot / F.sqrt(nq * nc)).otherwise(F.lit(0.0)),
-                6,
-            ).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-    )
+    return simsearch.brute_force_topk(e, qv, k=5, dim=64)
 
 
 # ---------------------------------------------------------------------------
