@@ -52,9 +52,14 @@ def canonical_url(url_col: str) -> Column:
     )
     sorted_q = F.array_join(F.array_sort(pairs), "&")
     base = F.concat(_host(url), _path(url))
-    return F.when(sorted_q == "", base).otherwise(
+    canon = F.when(sorted_q == "", base).otherwise(
         F.concat(base, F.lit("?"), sorted_q)
     )
+    # scheme-less/unparseable urls have NULL host → NULL canonical form;
+    # as a groupBy dedup key every such url would collapse into ONE NULL
+    # group and be deduped to a single survivor. Fall back to the raw url
+    # so unparseable urls never share a key.
+    return F.coalesce(canon, url)
 
 
 # compact multi-part public suffixes worth special-casing without a full

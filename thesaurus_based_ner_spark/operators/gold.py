@@ -55,8 +55,14 @@ def parse_conll_blocks(
     spaces, token = field 1, tag = field 4 (gold_dataset.py:457-467); the
     leading -DOCSTART- block is dropped.
     """
+    # Keep only lines with ≥4 whitespace-separated fields: under Spark 4's
+    # default ANSI mode getItem(3) on a shorter line (the common
+    # '-DOCSTART- O' variant, truncated lines) throws INVALID_ARRAY_INDEX
+    # and aborts the whole scan. Dropping short lines keeps tokens/tags
+    # aligned and mirrors the tolerant pubtator parse.
     lines = F.filter(
-        F.split(F.col(block_col), "\n"), lambda l: F.length(F.trim(l)) > 0
+        F.split(F.col(block_col), "\n"),
+        lambda l: F.size(F.split(F.trim(l), r"\s+")) >= 4,
     )
     parsed = blocks.select(
         F.col(id_col),
@@ -71,7 +77,9 @@ def parse_conll_blocks(
         ).alias("tags"),
     ).filter(F.size("tokens") > 0)
     if drop_docstart:
-        parsed = parsed.filter(F.col("tokens").getItem(0) != "-DOCSTART-")
+        # F.get is NULL (not an error) on empty arrays; NULL != literal
+        # drops the row, which is the right outcome for an all-short block
+        parsed = parsed.filter(F.get("tokens", 0) != "-DOCSTART-")
     return parsed
 
 
@@ -139,8 +147,10 @@ def parse_pubtator_blocks(blocks: DataFrame, block_col: str = "block") -> DataFr
         " length(split_part(try_element_at(__lines, 2), '|', 1)) + 4), '')"
     )
     span_lines = F.expr("slice(__lines, 3, greatest(size(__lines) - 2, 0))")
+    # ≥5 tab fields required (pmid, start, end, name, label): under ANSI
+    # mode getItem on a shorter/malformed line would abort the scan
     spans = F.transform(
-        F.filter(span_lines, lambda l: F.length(F.trim(l)) > 0),
+        F.filter(span_lines, lambda l: F.size(F.split(l, "\t")) >= 5),
         lambda l: F.struct(
             F.split(l, "\t").getItem(1).cast("bigint").alias("c_start"),
             F.split(l, "\t").getItem(2).cast("bigint").alias("c_end"),

@@ -218,6 +218,8 @@ class Catalog:
             )
         else:
             df = df.dropDuplicates(keys)
+        if not self.use_iceberg:
+            self._recover_swap(name)
         if not self.exists(name):
             return self.write(name, df, stage=stage or f"upsert:{name}")
         if self.use_iceberg:
@@ -234,6 +236,34 @@ class Catalog:
         keep = existing.join(df.select(*keys).distinct(), keys, "left_anti")
         merged = keep.unionByName(df.select(*existing.columns))
         return self._swap_write(name, merged, stage or f"upsert:{name}")
+
+    def _recover_swap(self, name: str) -> None:
+        """Heal a crash mid-_swap_write before touching the table again.
+
+        States a crash can leave behind:
+        - live dir MISSING, name__upsert_old present → crashed between the
+          two renames: restore old as the live table. Without this, the
+          next upsert sees exists()==False and writes the incoming batch
+          as the WHOLE table, silently dropping all prior rows.
+        - live dir present, name__upsert_old present → crashed after the
+          swap but before cleanup: old is superseded, remove it.
+        - stale name__upsert_tmp → incomplete write, remove it.
+        """
+        import shutil
+
+        old = self.path(f"{name}__upsert_old")
+        tmp = self.path(f"{name}__upsert_tmp")
+        live = self.path(name)
+        if os.path.isdir(old):
+            if not os.path.isdir(live):
+                os.rename(old, live)
+            else:
+                shutil.rmtree(old)
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        tmp_meta = self._meta_path(f"{name}__upsert_tmp")
+        if os.path.exists(tmp_meta):
+            os.remove(tmp_meta)
 
     def _swap_write(self, name: str, merged: DataFrame, stage: str) -> DataFrame:
         """Write merged to a sibling dir and swap it in via rename-aside:
@@ -276,6 +306,8 @@ class Catalog:
         snapshot-isolated commits). Parquet fallback: anti-join + union +
         rename-aside swap, same crash guarantees as upsert.
         """
+        if not self.use_iceberg:
+            self._recover_swap(name)
         if not self.exists(name):
             return self.write(name, df, stage=stage or f"replace:{name}")
         if self.use_iceberg:

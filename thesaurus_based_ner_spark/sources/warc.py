@@ -105,7 +105,11 @@ def parse_warc_stream(f):
                 )
             except ValueError:
                 pass
-            yield fields.get("warc-target-uri"), ts, body
+            uri = fields.get("warc-target-uri")
+            # WARC 1.0 legacy form wraps the URI in angle brackets
+            if uri and uri.startswith("<") and uri.endswith(">"):
+                uri = uri[1:-1]
+            yield uri, ts, body
 
 
 def parse_warc_records(data: bytes):
@@ -129,13 +133,27 @@ class _WarcReader(DataSourceReader):
     def partitions(self):
         p = self.load_path
         if os.path.isdir(p):
-            files = sorted(glob.glob(os.path.join(p, "*.warc")))
+            # Common Crawl publishes *.warc.gz (and .warc.wet.gz); bare
+            # *.warc appears in local dumps. Match both — and fail loudly
+            # on an empty match rather than returning a silently empty df.
+            files = sorted(
+                set(glob.glob(os.path.join(p, "*.warc")))
+                | set(glob.glob(os.path.join(p, "*.warc.gz")))
+                | set(glob.glob(os.path.join(p, "*.warc.*.gz")))
+            )
+            if not files:
+                raise FileNotFoundError(
+                    f"warc source: no *.warc or *.warc.gz files under {p}"
+                )
         else:
             files = sorted(glob.glob(p)) or [p]
         return [_WarcPartition(f) for f in files]
 
     def read(self, partition):
-        with open(partition.path, "rb") as f:
+        import gzip
+
+        opener = gzip.open if partition.path.endswith(".gz") else open
+        with opener(partition.path, "rb") as f:
             yield from parse_warc_stream(f)
 
 

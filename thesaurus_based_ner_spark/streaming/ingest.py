@@ -31,7 +31,27 @@ def ingest_available_now(
     """Drain all currently-available webtext parquet files through the
     mention pipeline, append results, remember progress in the checkpoint.
     Re-running after new files arrive processes only the delta.
+
+    Output layout: epoch=N partition subdirectories (so a retried epoch
+    overwrites its own partition — exactly-once). An out_dir written by the
+    pre-epoch flat layout cannot be mixed with this one: flat parquet files
+    next to partition dirs break spark.read.parquet partition discovery.
+    Fail fast rather than corrupt reads.
     """
+    import os
+
+    if os.path.isdir(out_dir):
+        flat = [
+            f
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet") and os.path.isfile(os.path.join(out_dir, f))
+        ]
+        if flat:
+            raise ValueError(
+                f"{out_dir} holds flat parquet files from the pre-epoch "
+                "layout; migrate them into epoch=N subdirectories (or use "
+                "a fresh out_dir) before streaming ingest"
+            )
     th = thesaurus_with_case(spark, term2label)
     stream = (
         spark.readStream.schema(WEBTEXT_SCHEMA).parquet(webtext_dir)
