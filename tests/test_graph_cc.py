@@ -101,3 +101,30 @@ def test_twostar_keeps_self_loop_only_nodes(spark):
     assert _result(connected_components_twostar(e)) == _result(
         connected_components(e)
     ) == {(1, 1), (2, 1), (7, 7)}
+
+
+def test_surface_star_edges_linear_on_skewed_surface(spark):
+    """A hot surface shared by S entities must emit S-1 star edges, not
+    the S(S-1)/2 clique a pairwise self-join would generate — and the
+    canonicalization output must be identical to clique semantics."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        canonicalize_entities,
+        surface_star_edges,
+    )
+
+    rows = [(f"E{i:03d}", "USA") for i in range(200)]
+    rows += [("E900", "unique1"), ("E901", "unique2")]
+    # a 2-entity chain through a second surface: E000 also surfaces "United States"
+    rows += [("E000", "United States"), ("E950", "united states")]
+    anchor = spark.createDataFrame(rows, "entity string, surface string")
+    edges = surface_star_edges(anchor)
+    # USA-star: 199; united-states-star: 1 (E000 is its own hub) → 200 total
+    assert edges.count() == 200
+    canon = {
+        (r["entity"], r["canonical"])
+        for r in canonicalize_entities(anchor).collect()
+    }
+    assert ("E950", "E000") in canon  # chained through shared surface
+    assert ("E199", "E000") in canon
+    assert ("E900", "E900") in canon  # singleton maps to itself
+    assert ("E901", "E901") in canon

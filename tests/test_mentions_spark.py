@@ -10,6 +10,8 @@ from thesaurus_based_ner_spark.operators.mentions import (
     bio_tags_df,
     detect_mentions_df,
     detect_mentions_trie,
+    detect_mentions_trie_dist,
+    thesaurus_dim_from_df,
     thesaurus_with_case,
     tokenize_df,
 )
@@ -60,6 +62,70 @@ def test_df_strategy_matches_oracle(spark, sentences):
 
 def test_trie_strategy_matches_oracle(spark, sentences):
     got = _collect(detect_mentions_trie(sentences, TERM2LABEL, ["url", "snt_id"]))
+    want = oracle_mentions(
+        [(r.url, r.snt_id, r.tokens) for r in sentences.collect()]
+    )
+    assert got == want
+
+
+def _terms_df(spark):
+    return spark.createDataFrame(
+        list(TERM2LABEL.items()), "term string, label string"
+    )
+
+
+def test_dim_from_df_matches_values_dim(spark):
+    """thesaurus_dim_from_df (DataFrame-native, for 23M-surface dims) must
+    produce the exact rows of the driver-side thesaurus_with_case."""
+    want = {
+        tuple(r) for r in thesaurus_with_case(spark, TERM2LABEL).collect()
+    }
+    got = {tuple(r) for r in thesaurus_dim_from_df(_terms_df(spark)).collect()}
+    assert got == want
+
+
+def test_df_strategy_with_df_only_dim(spark, sentences):
+    """detect_mentions_df fed a dim built WITHOUT any driver dict/VALUES."""
+    th = thesaurus_dim_from_df(_terms_df(spark))
+    got = _collect(detect_mentions_df(sentences, th, ["url", "snt_id"]))
+    want = oracle_mentions(
+        [(r.url, r.snt_id, r.tokens) for r in sentences.collect()]
+    )
+    assert got == want
+
+
+def test_trie_dist_strategy_matches_oracle(spark, sentences, tmp_path):
+    """Executor trie built from the parquet side file, thesaurus supplied
+    ONLY as a DataFrame — the fully distributed strategy."""
+    got = _collect(
+        detect_mentions_trie_dist(
+            sentences, _terms_df(spark), ["url", "snt_id"],
+            side_dir=str(tmp_path),
+        )
+    )
+    want = oracle_mentions(
+        [(r.url, r.snt_id, r.tokens) for r in sentences.collect()]
+    )
+    assert got == want
+
+
+def test_df_strategy_semi_join_pruning_path(spark, sentences):
+    """>10k distinct first tokens forces the broadcast-semi-join pruning
+    path (no IN list); results must be unchanged."""
+    import thesaurus_based_ner_spark.operators.mentions as M
+
+    filler = [(f"zqx{i}filler", "Filler") for i in range(10_050)]
+    big = dict(TERM2LABEL) | dict(filler)
+    th = thesaurus_dim_from_df(
+        spark.createDataFrame(list(big.items()), "term string, label string")
+    )
+    old = M._FT_IN_LIMIT
+    try:
+        M._FT_IN_LIMIT = 1_000  # keep the fixture fast; the path is what matters
+        got = _collect(detect_mentions_df(sentences, th, ["url", "snt_id"]))
+    finally:
+        M._FT_IN_LIMIT = old
+    # filler terms never occur in the corpus → same matches as the base dim
     want = oracle_mentions(
         [(r.url, r.snt_id, r.tokens) for r in sentences.collect()]
     )

@@ -15,7 +15,7 @@ plus (canonical, altLabel surface) rows for the triple store.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from thesaurus_based_ner_spark.operators.graph import (
     connected_components_twostar,
@@ -23,22 +23,32 @@ from thesaurus_based_ner_spark.operators.graph import (
 )
 
 
+def surface_star_edges(anchor: DataFrame) -> DataFrame:
+    """Shared-normalized-surface edges as a STAR to the per-surface hub.
+
+    A pairwise self-join on nsurf emits S²/2 edges for a surface shared by
+    S entities — a head surface like "USA" shared by 10⁴ entities would
+    generate 5·10⁷ edges from one key at web scale. Connected components
+    are invariant to star-vs-clique edges, so emit (hub=min entity, other)
+    instead: O(S) edges, one window shuffle on nsurf, no join.
+    """
+    surf = anchor.select(
+        F.col("entity"), F.lower(F.col("surface")).alias("nsurf")
+    ).distinct()
+    hub = F.min("entity").over(Window.partitionBy("nsurf"))
+    return (
+        surf.withColumn("__hub", hub)
+        .filter(F.col("entity") != F.col("__hub"))
+        .select(F.col("__hub").alias("a"), F.col("entity").alias("b"))
+    )
+
+
 def canonicalize_entities(
     anchor: DataFrame,
     redirects: DataFrame | None = None,
 ) -> DataFrame:
     """(entity, canonical) map via CC over surface+redirect edges."""
-    surf = anchor.select(
-        F.col("entity"), F.lower(F.col("surface")).alias("nsurf")
-    ).distinct()
-    a = surf.alias("a")
-    b = surf.alias("b")
-    surf_edges = a.join(
-        b,
-        (F.col("a.nsurf") == F.col("b.nsurf"))
-        & (F.col("a.entity") < F.col("b.entity")),
-    ).select(F.col("a.entity").alias("a"), F.col("b.entity").alias("b"))
-    edges = surf_edges
+    edges = surface_star_edges(anchor)
     if redirects is not None:
         red = resolve_chains(redirects, "src", "dst").select(
             F.col("src").alias("a"), F.col("root").alias("b")

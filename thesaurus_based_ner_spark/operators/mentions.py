@@ -37,6 +37,12 @@ from thesaurus_based_ner_spark.functions.text import TOKEN_RE, tokenize
 
 MENTION_COLS = ("m_start", "m_end", "surface", "label")
 
+# first-token pruning thresholds: ≤ _FT_IN_LIMIT distinct first tokens →
+# codegen IN-list; ≤ _FT_BROADCAST_LIMIT → broadcast semi-join; above →
+# no pruning (the main broadcast hash join is the filter)
+_FT_IN_LIMIT = 10_000
+_FT_BROADCAST_LIMIT = 5_000_000
+
 
 def tokenize_df(df: DataFrame, text_col: str = "text", out: str = "tokens") -> DataFrame:
     """Add a tokens array column. regexp_extract_all is JVM-side/codegen."""
@@ -90,6 +96,52 @@ def thesaurus_with_case(spark, term2label: dict[str, str]) -> DataFrame:
     )
 
 
+def thesaurus_dim_from_df(
+    terms: DataFrame, term_col: str = "term", label_col: str = "label"
+) -> DataFrame:
+    """DataFrame-native thesaurus dim — same output contract as
+    thesaurus_with_case but for LARGE dims that must never visit the
+    driver (reference scale: 23.1M surfaces, kb_loader/db_pedia.py:207).
+
+    Everything is JVM-side: tokenization via regexp_extract_all, the
+    case-sensitivity split (string_match.py:91-140 — abbreviations and
+    duplicated-lowercase terms stay case-sensitive) as a window count
+    over lower(term) (the A6 groupBy composed in), and the
+    colliding-joined-form dedup as a max_by aggregate reproducing
+    thesaurus_with_case's "lexicographically last term wins" rule.
+    One dim-sized shuffle on lower(term); corpus never involved.
+    """
+    t = terms.groupBy(F.col(term_col).alias("term")).agg(
+        F.max(F.col(label_col)).alias("label")
+    )
+    t = t.withColumn(
+        "__toks", F.regexp_extract_all(F.col("term"), F.lit(TOKEN_RE), F.lit(0))
+    ).filter(F.size("__toks") > 0)  # zero-token terms: trie skips them too
+    t = (
+        t.withColumn("joined", F.array_join("__toks", " "))
+        .withColumn("joined_lower", F.lower("joined"))
+        .withColumn("n_tokens", F.size("__toks").cast("int"))
+        .drop("__toks")
+    )
+    w_low = Window.partitionBy(F.lower(F.col("term")))
+    t = t.withColumn(
+        "cs",
+        (F.upper("term") == F.col("term"))
+        | (F.count("*").over(w_low) >= 2),
+    )
+    key = F.when(F.col("cs"), F.col("joined")).otherwise(F.col("joined_lower"))
+    return (
+        t.groupBy(key.alias("__key"), "cs")
+        .agg(
+            F.max(
+                F.struct("term", "label", "joined", "joined_lower", "n_tokens")
+            ).alias("__r")
+        )
+        .select("__r.term", "__r.label", "__r.joined", "__r.joined_lower",
+                "cs", "__r.n_tokens")
+    )
+
+
 def _hash_key(n: int, toks: list) -> Column:
     """64-bit join key for an n-gram: xxhash64(n, lower(tok_0..n-1)).
 
@@ -106,7 +158,7 @@ def _hash_matches(
     thesaurus: DataFrame,
     id_cols: list[str],
     lens: list[int],
-    first_tokens: list[str] | None,
+    first_tokens: "list[str] | DataFrame | None",
 ) -> DataFrame:
     """N-gram match via a 64-bit hash key — no pre-join string building.
 
@@ -121,7 +173,16 @@ def _hash_matches(
     same token bytes the concat did but allocates nothing.
     """
     base = df.select(*id_cols, "tokens", F.posexplode("tokens").alias("pos", "tok"))
-    if first_tokens is not None and 0 < len(first_tokens) <= 10_000:
+    if isinstance(first_tokens, DataFrame):
+        # Large-dim pruning: broadcast LEFT SEMI against the distinct
+        # first-token dim — JVM-side hash probe per position, no IN-list
+        # expression blow-up, no shuffle of the corpus side.
+        base = base.join(
+            F.broadcast(first_tokens),
+            F.lower(F.col("tok")) == F.col("__ft"),
+            "left_semi",
+        )
+    elif first_tokens is not None and 0 < len(first_tokens) <= 10_000:
         base = base.where(F.lower("tok").isin(*first_tokens))
     structs = []
     for n in sorted(lens):
@@ -243,12 +304,30 @@ def detect_mentions_df(
     tokens_col: str = "tokens",
     merge_adjacent: bool = True,
 ) -> DataFrame:
-    """Pure-DataFrame mention detection (strategy 1). df needs tokens_col."""
-    meta = thesaurus.select(
-        "n_tokens", F.split("joined_lower", " ").getItem(0).alias("ft")
-    ).collect()
-    lens = sorted({r["n_tokens"] for r in meta})
-    first_tokens = sorted({r["ft"] for r in meta})
+    """Pure-DataFrame mention detection (strategy 1). df needs tokens_col.
+
+    Dim metadata is gathered server-side — the driver only ever receives
+    (a) the distinct term token-lengths (a handful of ints) and (b) at
+    most _FT_IN_LIMIT distinct first tokens. Beyond that limit the
+    first-token pruning runs as a broadcast semi-join against the
+    distinct-first-token dim, and past _FT_BROADCAST_LIMIT it is skipped
+    entirely (candidates die in the main broadcast hash probe anyway).
+    At the reference's 23M-surface scale nothing dim-sized visits the
+    driver.
+    """
+    lens_set = thesaurus.agg(F.collect_set("n_tokens")).first()[0]
+    lens = sorted(lens_set)
+    ft_dim = thesaurus.select(
+        F.split("joined_lower", " ").getItem(0).alias("__ft")
+    ).distinct()
+    sample = [r[0] for r in ft_dim.limit(_FT_IN_LIMIT + 1).collect()]
+    first_tokens: "list[str] | DataFrame | None"
+    if len(sample) <= _FT_IN_LIMIT:
+        first_tokens = sorted(sample)
+    elif ft_dim.count() <= _FT_BROADCAST_LIMIT:
+        first_tokens = ft_dim
+    else:
+        first_tokens = None
     base = df.withColumnRenamed(tokens_col, "tokens") if tokens_col != "tokens" else df
     matches = _hash_matches(base, thesaurus, id_cols, lens, first_tokens)
     resolved = resolve_overlaps_df(matches, id_cols).drop("cs")
@@ -257,6 +336,43 @@ def detect_mentions_df(
 
 _TRIE_CACHE: dict[str, object] = {}
 _TRIE_CACHE_MAX = 8  # a long-lived python worker may see several thesauri
+
+
+def _trie_cache_put(key: str, trie) -> None:
+    if len(_TRIE_CACHE) >= _TRIE_CACHE_MAX:
+        _TRIE_CACHE.pop(next(iter(_TRIE_CACHE)))
+    _TRIE_CACHE[key] = trie
+
+
+def _trie_out_schema(df: DataFrame, id_cols: list[str]) -> str:
+    dtypes = {f.name: f.dataType.simpleString() for f in df.schema}
+    id_schema = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
+    return (
+        id_schema + ", m_start bigint, m_end bigint, surface string, label string"
+    )
+
+
+def _trie_map_fn(id_cols: list[str], tokens_col: str, get_trie):
+    """mapInPandas body shared by the broadcast-dict and side-file trie
+    strategies; get_trie() resolves/builds the executor-cached trie."""
+
+    def run(batches):
+        import pandas as pd
+
+        trie = get_trie()
+        for pdf in batches:
+            rows = []
+            ids = pdf[list(id_cols)].itertuples(index=False, name=None)
+            for idv, toks in zip(ids, pdf[tokens_col]):
+                toks = list(toks)
+                for s, e, lab in match_sentence(trie, toks):
+                    rows.append(idv + (s, e, " ".join(toks[s:e]), lab))
+            yield pd.DataFrame(
+                rows,
+                columns=list(id_cols) + ["m_start", "m_end", "surface", "label"],
+            )
+
+    return run
 
 
 def detect_mentions_trie(
@@ -281,35 +397,82 @@ def detect_mentions_trie(
 
     fp = _hl.md5(repr(sorted(term2label.items())).encode()).hexdigest()
     bc = spark.sparkContext.broadcast((fp, term2label))
-    dtypes = {f.name: f.dataType.simpleString() for f in df.schema}
-    id_schema = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
-    out_schema = (
-        id_schema
-        + ", m_start bigint, m_end bigint, surface string, label string"
-    )
 
-    def run(batches):
-        import pandas as pd
-
+    def get_trie():
         key, t2l = bc.value
         trie = _TRIE_CACHE.get(key)
         if trie is None:
             trie = build_matcher(t2l, tokenize)
-            if len(_TRIE_CACHE) >= _TRIE_CACHE_MAX:
-                _TRIE_CACHE.pop(next(iter(_TRIE_CACHE)))
-            _TRIE_CACHE[key] = trie
-        for pdf in batches:
-            rows = []
-            ids = pdf[list(id_cols)].itertuples(index=False, name=None)
-            for idv, toks in zip(ids, pdf[tokens_col]):
-                toks = list(toks)
-                for s, e, lab in match_sentence(trie, toks):
-                    rows.append(idv + (s, e, " ".join(toks[s:e]), lab))
-            yield pd.DataFrame(
-                rows, columns=list(id_cols) + ["m_start", "m_end", "surface", "label"]
-            )
+            _trie_cache_put(key, trie)
+        return trie
 
-    return df.select(*id_cols, tokens_col).mapInPandas(run, schema=out_schema)
+    return df.select(*id_cols, tokens_col).mapInPandas(
+        _trie_map_fn(id_cols, tokens_col, get_trie),
+        schema=_trie_out_schema(df, id_cols),
+    )
+
+
+def detect_mentions_trie_dist(
+    df: DataFrame,
+    thesaurus: DataFrame,
+    id_cols: list[str],
+    tokens_col: str = "tokens",
+    side_dir: str | None = None,
+) -> DataFrame:
+    """Trie strategy with the thesaurus supplied ONLY as a DataFrame —
+    the 23M-surface shape (SCALE.md: per-executor trie from a distributed
+    side file). Semantics == detect_mentions_trie == detect_mentions_df.
+
+    The (term, label) dim is written ONCE to a parquet side location
+    (distributed storage on a real cluster; content-fingerprinted so
+    reruns reuse it), and each executor's python workers read it directly
+    with pyarrow and build the token trie locally, cached per process.
+    Driver memory never holds the dim — the only driver traffic is the
+    2-value fingerprint aggregate.
+
+    Duplicate terms resolve to max(label), matching thesaurus_dim_from_df.
+    """
+    import os
+    import tempfile
+
+    spark = df.sparkSession
+    dim = thesaurus.groupBy("term").agg(F.max("label").alias("label"))
+    # bit_xor: order-independent and overflow-free under ANSI (sum of
+    # xxhash64 values throws ARITHMETIC_OVERFLOW); terms are deduped so
+    # xor cancellation of identical rows cannot occur
+    agg = dim.agg(
+        F.expr("bit_xor(xxhash64(term, label))").alias("h"),
+        F.count("*").alias("n"),
+    ).first()
+    if not agg["n"]:
+        raise ValueError("thesaurus dim is empty")
+    fp = f"tbner_th_{agg['h']}_{agg['n']}"
+    base_dir = side_dir or os.path.join(
+        tempfile.gettempdir(), "tbner_thesaurus_side"
+    )
+    path = os.path.join(base_dir, fp)
+    if not os.path.isdir(path) or not any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        dim.write.mode("overwrite").parquet(path)
+
+    def get_trie():
+        trie = _TRIE_CACHE.get(fp)
+        if trie is None:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(path, columns=["term", "label"])
+            t2l = dict(
+                zip(tbl.column("term").to_pylist(), tbl.column("label").to_pylist())
+            )
+            trie = build_matcher(t2l, tokenize)
+            _trie_cache_put(fp, trie)
+        return trie
+
+    return df.select(*id_cols, tokens_col).mapInPandas(
+        _trie_map_fn(id_cols, tokens_col, get_trie),
+        schema=_trie_out_schema(df, id_cols),
+    )
 
 
 def bio_tags_df(

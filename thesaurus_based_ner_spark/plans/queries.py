@@ -1464,6 +1464,50 @@ def canonical_components(spark, sf_dir):
     return graph.connected_components_twostar(edges)
 
 
+@q(
+    "canonical_components_star",
+    oracle="""
+    WITH RECURSIVE surf AS (
+      SELECT DISTINCT 'E' || p_partkey AS entity,
+             lower(string_split(p_name, ' ')[1]) AS nsurf FROM part
+      UNION
+      SELECT DISTINCT 'E' || p_partkey,
+             lower(string_split(p_name, ' ')[-1]) FROM part
+    ),
+    edges AS (
+      SELECT DISTINCT a.entity AS u, b.entity AS v
+      FROM surf a JOIN surf b ON a.nsurf = b.nsurf AND a.entity <> b.entity
+    ),
+    reach(u, lbl) AS (
+      SELECT entity, entity FROM (SELECT DISTINCT entity FROM surf)
+      UNION
+      SELECT e.v, r.lbl FROM reach r JOIN edges e ON r.u = e.u
+    )
+    SELECT u AS entity, MIN(lbl) AS canonical FROM reach GROUP BY u
+    """,
+)
+def canonical_components_star(spark, sf_dir):
+    """canonicalize_entities end-to-end: entities share surfaces (first and
+    last p_name word), surface edges generated as a STAR to the
+    per-surface hub (O(S), never the S²/2 pairwise self-join — invariant
+    for connected components), then two-star CC. The oracle states clique
+    semantics with a recursive CTE, so the star rewrite must be
+    CC-equivalent to pass the value hash."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        canonicalize_entities,
+    )
+
+    p = T(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    anchor = p.select(
+        F.concat(F.lit("E"), "p_partkey").alias("entity"),
+        F.explode(
+            F.array(F.element_at(words, 1), F.element_at(words, -1))
+        ).alias("surface"),
+    )
+    return canonicalize_entities(anchor).select("entity", "canonical")
+
+
 # ---------------------------------------------------------------------------
 # Chunker + suffix-typer path (U2/U3: the reference's TwoStage default) and
 # the LSH ANN scale path.
@@ -1713,6 +1757,30 @@ def mention_spans_trie(spark, sf_dir):
         "doc_id", "tokens"
     )
     return detect_mentions_trie(snts, dict(DOC_THESAURUS), ["doc_id"]).select(
+        "doc_id", "m_start", "m_end", "surface", "label"
+    )
+
+
+@q(
+    "mention_spans_dist",
+    oracle=_MENTION_CTE
+    + "SELECT doc_id, m_start, m_end, surface, label FROM mentions",
+)
+def mention_spans_dist(spark, sf_dir):
+    """The fully-distributed thesaurus shape: the dim enters ONLY as a
+    DataFrame (no driver dict / VALUES), the executor trie is built from
+    the parquet side file (detect_mentions_trie_dist), and the result must
+    hash-match the same oracle as both other strategies."""
+    from thesaurus_based_ner_spark.operators.mentions import (
+        detect_mentions_trie_dist,
+    )
+
+    docs = spread(T(spark, sf_dir, "documents").filter(F.col("lang") == "en"))
+    snts = tokenize_df(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "tokens"
+    )
+    terms = spark.createDataFrame(DOC_THESAURUS, "term string, label string")
+    return detect_mentions_trie_dist(snts, terms, ["doc_id"]).select(
         "doc_id", "m_start", "m_end", "surface", "label"
     )
 
