@@ -110,3 +110,46 @@ def test_ivf_recall_and_determinism(spark, sf_dir):
     approx = {(q_, n_) for q_, n_, _, _ in run1}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_np_chunker_parity_with_rule_chunker(spark):
+    """chunker="np" (iterator-init mapInPandas, POS-lite model) must equal
+    the pure-SQL rule chunker on the fixture corpus — the two strategies
+    are interchangeable by contract."""
+    from thesaurus_based_ner_spark.operators.chunking import chunks_df
+    from thesaurus_based_ner_spark.sources.webtext import synth_webtext
+
+    docs = synth_webtext(spark, 80).filter(F.col("lang") == "en")
+    snts = tokenize_df(
+        docs.select(F.col("url").alias("doc_id"), "text"), "text"
+    ).select("doc_id", "tokens")
+    key = lambda df: {
+        (r.doc_id, r.m_start, r.m_end, r.surface) for r in df.collect()
+    }
+    rule = key(chunks_df(snts, ["doc_id"], strategy="rule"))
+    np_ = key(chunks_df(snts, ["doc_id"], strategy="np"))
+    assert rule == np_
+    assert len(rule) > 50
+
+
+def test_np_chunker_custom_model_factory(spark):
+    """The model_factory slot accepts any predict(tokens)->spans model
+    (the spaCy hook) — a 1-token-span dummy proves the plumbing."""
+    from thesaurus_based_ner_spark.operators.chunking import np_chunks_df
+
+    class OneTok:
+        def predict(self, toks):
+            return [(i, i + 1) for i, t in enumerate(toks) if t == "spark"]
+
+    snts = tokenize_df(
+        spark.createDataFrame(
+            [("d1", "spark joins spark"), ("d2", "no match here")],
+            "doc_id string, text string",
+        ),
+        "text",
+    ).select("doc_id", "tokens")
+    got = {
+        (r.doc_id, r.m_start, r.m_end, r.surface)
+        for r in np_chunks_df(snts, ["doc_id"], model_factory=OneTok).collect()
+    }
+    assert got == {("d1", 0, 1, "spark"), ("d1", 2, 3, "spark")}

@@ -90,6 +90,96 @@ def rule_chunks_df(
     return chunks
 
 
+def chunks_df(
+    sentences: DataFrame,
+    id_cols: list[str],
+    max_len: int = 6,
+    strategy: str = "rule",
+    model_factory=None,
+) -> DataFrame:
+    """Chunker strategy dispatcher: "rule" = pure-SQL island detection
+    (the scale default), "np" = model-based mapInPandas (np_chunks_df;
+    spaCy-shaped, deterministic POS-lite model by default)."""
+    if strategy == "rule":
+        return rule_chunks_df(sentences, id_cols, max_len=max_len)
+    if strategy == "np":
+        return np_chunks_df(
+            sentences, id_cols, max_len=max_len, model_factory=model_factory
+        )
+    raise ValueError(f"unknown chunker strategy {strategy!r}")
+
+
+class PosLiteNPModel:
+    """Deterministic stand-in for the reference's spaCy noun-chunk model
+    (chunker/spacy_model.py:93-118): same predict(tokens) → [(start, end)]
+    contract, implemented as a pinned POS-lite heuristic — noun phrases =
+    maximal runs of content word-tokens, split into ≤ max_len windows
+    (identical semantics to rule_chunks_df, so the two chunker strategies
+    are parity-testable). A real spaCy pipeline drops into the same
+    model_factory slot; SURVEY argues determinism for the default.
+    """
+
+    def __init__(self, max_len: int = 6, stopwords: frozenset | None = None):
+        import re
+
+        self.max_len = max_len
+        self.stop = frozenset(stopwords or CHUNK_STOP)
+        self._word = re.compile(r"^[A-Za-z0-9_]+$")
+
+    def predict(self, tokens: list[str]) -> list[tuple[int, int]]:
+        spans: list[tuple[int, int]] = []
+        run_start = None
+        for i, tok in enumerate(list(tokens) + [""]):  # sentinel flush
+            content = bool(self._word.match(tok)) and tok.lower() not in self.stop
+            if content and run_start is None:
+                run_start = i
+            elif not content and run_start is not None:
+                for s in range(run_start, i, self.max_len):
+                    spans.append((s, min(s + self.max_len, i)))
+                run_start = None
+        return spans
+
+
+def np_chunks_df(
+    sentences: DataFrame,
+    id_cols: list[str],
+    max_len: int = 6,
+    model_factory=None,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """U3 model-based chunker strategy (`chunker="np"`): Arrow-batched
+    mapInPandas with ITERATOR-INIT — the model is constructed once per
+    task, before the batch loop, then reused for every Arrow batch (the
+    pattern that amortizes a spaCy `spacy.load` across a whole partition;
+    heavy factories should additionally memoize in module state). Default
+    model is the pinned PosLiteNPModel, so output is deterministic and
+    equals rule_chunks_df.
+    """
+    factory = model_factory or (lambda: PosLiteNPModel(max_len))
+    dtypes = {f.name: f.dataType.simpleString() for f in sentences.schema}
+    id_schema = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
+    out_schema = id_schema + ", m_start bigint, m_end bigint, surface string"
+
+    def run(batches):
+        import pandas as pd
+
+        model = factory()  # once per task, NOT per batch/row
+        for pdf in batches:
+            rows = []
+            ids = pdf[list(id_cols)].itertuples(index=False, name=None)
+            for idv, toks in zip(ids, pdf[tokens_col]):
+                toks = list(toks)
+                for s, e in model.predict(toks):
+                    rows.append(idv + (s, e, " ".join(toks[s:e])))
+            yield pd.DataFrame(
+                rows, columns=list(id_cols) + ["m_start", "m_end", "surface"]
+            )
+
+    return sentences.select(*id_cols, tokens_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def type_chunks_suffix(chunks: DataFrame, thesaurus: DataFrame) -> DataFrame:
     """Label each chunk with the LONGEST thesaurus term that is a
     word-boundary suffix of it (case-insensitive form; reference

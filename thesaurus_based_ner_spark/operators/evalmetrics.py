@@ -404,3 +404,34 @@ def enumerated_negative_spans(
         id_cols + ["m_start", "m_end"],
         "left_anti",
     )
+
+
+def metric_diff(
+    base: DataFrame,
+    focus: DataFrame,
+    metric_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """Run-vs-run metric comparison — reference cli/compare_metrics.py:21-50
+    (MLflow base/focus run diff: delta = focus − base per metric key).
+
+    Full-outer on the metric key so a metric present in only one run
+    surfaces with a NULL side (and NULL delta) instead of vanishing — the
+    reference iterates base keys and would KeyError on asymmetry; this is
+    the tolerant table form. Dim-sized both sides: one tiny shuffle (or a
+    broadcast under AQE).
+    """
+    b = base.select(
+        F.col(metric_col).alias("metric"),
+        F.col(value_col).cast("double").alias("base_value"),
+    )
+    f = focus.select(
+        F.col(metric_col).alias("metric"),
+        F.col(value_col).cast("double").alias("focus_value"),
+    )
+    return b.join(f, "metric", "full_outer").select(
+        "metric",
+        "base_value",
+        "focus_value",
+        (F.col("focus_value") - F.col("base_value")).alias("delta"),
+    )

@@ -154,10 +154,15 @@ def resolve_chains(
                     F.col("__s").isNotNull().alias("__moved"))
         )
         stepped = _checkpoint(stepped)
-        if stepped.filter("__moved").isEmpty():
-            cur = stepped.drop("__moved")
-            break
+        # 1-row signature aggregate (same trick as twostar CC) — the
+        # convergence decision costs one tiny collect, never a filtered
+        # materialization
+        moved = stepped.agg(
+            F.max(F.col("__moved").cast("int")).alias("m")
+        ).collect()[0]["m"]
         cur = stepped.drop("__moved")
+        if not moved:
+            break
     return cur
 
 
@@ -273,6 +278,18 @@ def connected_components(
         sym.select("u").distinct().select("u", F.col("u").alias("component"))
     )
     labels = _checkpoint(labels)
+
+    def _sig(df: DataFrame) -> tuple:
+        # 1-row signature (count + xor of row hashes), the same
+        # convergence test connected_components_twostar uses — no driver
+        # isEmpty / filtered materialization per round
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, component))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _sig(labels)
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("u", "v2"), sym["v"] == F.col("v2"))
@@ -286,16 +303,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nmin", F.col("component"))
                 ).alias("component"),
-                (
-                    F.coalesce("nmin", F.col("component")) < F.col("component")
-                ).alias("__changed"),
             )
         )
         new_labels = _checkpoint(new_labels)
-        changed = new_labels.filter("__changed").isEmpty() is False
-        labels = new_labels.drop("__changed")
-        if not changed:
+        new_sig = _sig(new_labels)
+        labels = new_labels
+        if new_sig == sig:
             break
+        sig = new_sig
     return labels.select(F.col("u").alias("node"), "component")
 
 

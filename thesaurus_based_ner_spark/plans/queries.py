@@ -1586,6 +1586,61 @@ def chunked_mentions(spark, sf_dir):
     )
 
 
+@q(
+    "np_chunks",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{_SQL_TOKEN_RE}') AS toks
+      FROM documents WHERE lang = 'en'
+    ),
+    pos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p FROM docs
+    ),
+    marked AS (
+      SELECT doc_id, toks, p, toks[p] AS tok,
+             regexp_matches(toks[p], '^[A-Za-z0-9_]+$')
+               AND lower(toks[p]) NOT IN ({_STOP_LIST_SQL}) AS is_content
+      FROM pos
+    ),
+    lagged AS (
+      SELECT *, COALESCE(LAG(is_content) OVER (PARTITION BY doc_id ORDER BY p),
+                          false) AS prev_content
+      FROM marked
+    ),
+    grouped AS (
+      SELECT *, SUM(CASE WHEN (NOT prev_content) OR (NOT is_content)
+                         THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
+      FROM lagged
+    ),
+    runs AS (
+      SELECT doc_id, grp, MIN(p) AS run_first, MAX(p) AS run_last,
+             any_value(toks) AS toks
+      FROM grouped WHERE is_content GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(s - 1 AS BIGINT) AS m_start,
+           CAST(least(s + 5, run_last) AS BIGINT) AS m_end,
+           array_to_string(toks[s : least(s + 5, run_last)], ' ') AS surface
+    FROM runs, unnest(range(run_first, run_last + 1, 6)) AS t(s)
+    """,
+)
+def np_chunks(spark, sf_dir):
+    """U3 model-based chunker (chunker="np"): iterator-init mapInPandas
+    running the pinned POS-lite noun-phrase model (spaCy slot-compatible),
+    value-checked against the same run-window SQL the rule chunker obeys —
+    the two strategies are interchangeable by contract."""
+    from thesaurus_based_ner_spark.operators.chunking import chunks_df
+
+    docs = spread(T(spark, sf_dir, "documents").filter(F.col("lang") == "en"))
+    snts = tokenize_df(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "tokens"
+    )
+    return chunks_df(snts, ["doc_id"], max_len=6, strategy="np").select(
+        "doc_id", "m_start", "m_end", "surface"
+    )
+
+
 def _lsh_planes_sql(n_bits: int, dim: int, seed: int, n_tables: int) -> str:
     """VALUES rows (tbl, j, w) with the SAME md5-derived hyperplanes the
     Spark operator uses — the LSH is deterministic, so the DuckDB oracle

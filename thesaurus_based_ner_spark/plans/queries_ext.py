@@ -1210,3 +1210,47 @@ def multimodal_frame_resize(spark, sf_dir):
     feats = decode_and_featurize(media, fake=True).filter(F.col("kind") == "video")
     frames = sample_frames(resize_plan(feats, 32, 24), 4)
     return frames.select("media_id", "new_w", "new_h", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Run-vs-run metric diff (reference cli/compare_metrics.py:21-50)
+# ---------------------------------------------------------------------------
+
+@q(
+    "metric_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS metric,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1
+    ),
+    focus AS (
+      SELECT o_orderpriority AS metric,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value
+      FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+    )
+    SELECT COALESCE(b.metric, f.metric) AS metric,
+           b.value AS base_value, f.value AS focus_value,
+           f.value - b.value AS delta
+    FROM base b FULL OUTER JOIN focus f ON b.metric = f.metric
+    """,
+)
+def metric_diff(spark, sf_dir):
+    """Two 'runs' of a per-priority revenue metric (1995 vs 1996 orders)
+    diffed by evalmetrics.metric_diff — the compare_metrics lifecycle
+    closer. Decimal sums keep the double values bit-identical across
+    engines."""
+    o = T(spark, sf_dir, "orders")
+
+    def run(year: int) -> DataFrame:
+        return (
+            o.filter(F.year("o_orderdate") == year)
+            .groupBy(F.col("o_orderpriority").alias("metric"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value")
+            )
+        )
+
+    return evalmetrics.metric_diff(run(1995), run(1996))
