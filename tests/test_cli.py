@@ -30,3 +30,22 @@ def test_cli_pipeline_and_query(spark, tmp_path, capsys):
 
     rc = main(["query", "--name", "no_such_query", "--sf-dir", "/d"])
     assert rc == 2
+
+
+def test_cli_pipeline_with_tsv_thesaurus(spark, tmp_path, capsys):
+    """--thesaurus terms.tsv loads DISTRIBUTED (parallel CSV scan → the
+    DataFrame dim path), never a driver dict."""
+    from thesaurus_based_ner_spark.sources.webtext import THESAURUS
+
+    tsv = tmp_path / "terms.tsv"
+    tsv.write_text(
+        "# term\tlabel\n"
+        + "\n".join(f"{t}\t{lab}" for t, lab in THESAURUS)
+        + "\n"
+    )
+    root = str(tmp_path / "catalog_tsv")
+    rc = main(["pipeline", "--output", root, "--synth-docs", "120",
+               "--thesaurus", str(tsv), "--fingerprint", "cli-tsv"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["triples"] > 0

@@ -234,3 +234,23 @@ def test_upsert_dedupes_incoming_keys_deterministically(spark, tmp_path):
     # one row per key; min-struct winner ('a' < 'b', 'y' < 'z')
     assert rows == {0: "old", 1: "a", 2: "old", 7: "y"}
     assert out.count() == 4
+
+
+def test_pipeline_with_dataframe_thesaurus(spark, triples, tmp_path):
+    """The flagship path with the thesaurus supplied ONLY as a DataFrame
+    (the 23M-surface shape): identical triples to the dict-dim run."""
+    terms_df = spark.createDataFrame(
+        list(TERM2LABEL.items()), "term string, label string"
+    )
+    cat = Catalog(spark, str(tmp_path / "cat_dfth"))
+    got = run_pipeline(
+        spark,
+        cat,
+        synth_webtext(spark, N_DOCS),
+        terms_df,
+        synth_anchor_text(spark, 800),
+        synth_redirects(spark),
+        corpus_fingerprint=f"synth:{N_DOCS}",
+    )
+    want = {tuple(r) for r in triples.collect()}
+    assert {tuple(r) for r in got.collect()} == want

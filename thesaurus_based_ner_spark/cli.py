@@ -32,20 +32,29 @@ def _get_session(args):
     return get_spark("tbner-cli", cpus=args.cpus)
 
 
-def _load_thesaurus(spark, path: str | None) -> dict[str, str]:
+def _load_thesaurus(spark, path: str | None):
+    """No path → the fixture dict (VALUES-literal dim). A path → a
+    DISTRIBUTED (term, label) DataFrame: parquet directly, TSV via a
+    parallel CSV scan — a 23M-surface dim never visits the driver
+    (the pipeline's mention stage handles both input shapes)."""
     if path is None:
         from thesaurus_based_ner_spark.sources.webtext import THESAURUS
 
         return dict(THESAURUS)
-    term2label: dict[str, str] = {}
-    with open(path) as f:
-        for line in f:
-            line = line.rstrip("\n")
-            if not line or line.startswith("#"):
-                continue
-            term, label = line.split("\t", 1)
-            term2label[term] = label
-    return term2label
+    from pyspark.sql import functions as F
+
+    if path.endswith(".parquet") or path.rstrip("/").endswith(".parquet"):
+        df = spark.read.parquet(path)
+    else:
+        df = (
+            spark.read.option("sep", "\t")
+            .option("comment", "#")
+            .schema("term string, label string")
+            .csv(path)
+        )
+    return df.filter(
+        F.col("term").isNotNull() & F.col("label").isNotNull()
+    ).select("term", "label")
 
 
 def cmd_pipeline(args) -> int:

@@ -36,6 +36,8 @@ from thesaurus_based_ner_spark.operators.linking import (
 from thesaurus_based_ner_spark.operators.mentions import (
     detect_mentions_df,
     detect_mentions_trie,
+    detect_mentions_trie_dist,
+    thesaurus_dim_from_df,
     thesaurus_with_case,
     tokenize_df,
 )
@@ -82,13 +84,25 @@ def sentence_stage(extracted: DataFrame, lang: str = "en") -> DataFrame:
 
 def mention_stage(
     sentences: DataFrame,
-    term2label: dict[str, str],
+    term2label: "dict[str, str] | DataFrame",
     strategy: str = "df",
 ) -> DataFrame:
+    """term2label may be a dict (fixture-sized dims: VALUES literal /
+    broadcast python dict) or a (term, label) DataFrame — the 23M-surface
+    shape, where the dim must never visit the driver: the DF strategy
+    builds the dim JVM-side (thesaurus_dim_from_df) and the trie strategy
+    builds per-executor tries from a parquet side file."""
+    ids = ["url", "snt_id"]
+    if isinstance(term2label, DataFrame):
+        if strategy == "trie":
+            return detect_mentions_trie_dist(sentences, term2label, ids)
+        return detect_mentions_df(
+            sentences, thesaurus_dim_from_df(term2label), ids
+        )
     if strategy == "trie":
-        return detect_mentions_trie(sentences, term2label, ["url", "snt_id"])
+        return detect_mentions_trie(sentences, term2label, ids)
     th = thesaurus_with_case(sentences.sparkSession, term2label)
-    return detect_mentions_df(sentences, th, ["url", "snt_id"])
+    return detect_mentions_df(sentences, th, ids)
 
 
 def triple_stage(
@@ -216,7 +230,11 @@ def run_pipeline(
     `sentences` intermediates (debugging / per-stage inspection / finer
     resume granularity).
     """
-    th_fp = _fp(sorted(term2label.items()))
+    th_fp = (
+        _df_digest(term2label)
+        if isinstance(term2label, DataFrame)
+        else _fp(sorted(term2label.items()))
+    )
     base_fp = _fp(
         corpus_fingerprint, th_fp, strategy,
         _df_digest(anchor), _df_digest(redirects),
