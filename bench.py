@@ -86,6 +86,22 @@ HEADLINE = [
     "greedy_bio",
     "multimodal_features",
     "multimodal_frame_resize",
+    # round 3
+    "mention_spans_dist",
+    "np_chunks",
+    "canonical_components_star",
+    "metric_diff",
+    "mrconso_pipe_scan",
+    "ttl_predicate_scan",
+    "umls_term2cats",
+    "umls_term2cats_union",
+    "anchor_weighted_cats",
+    "term2cat_argmax",
+    "disambiguation_expansion",
+    "redirect_merged_cats",
+    "inflected_terms",
+    "label_vocab_counts",
+    "pseudo_sentences",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
@@ -163,6 +179,7 @@ def run_pipeline_bench(spark, n_docs: int, warmup: bool = False) -> dict:
 
 def run_headline(spark) -> dict[str, float]:
     from thesaurus_based_ner_spark.plans import queries_ext as _qx  # noqa: F401
+    from thesaurus_based_ner_spark.plans import queries_r3 as _q3  # noqa: F401
     from thesaurus_based_ner_spark.plans.queries import QUERIES
 
     times: dict[str, float] = {}

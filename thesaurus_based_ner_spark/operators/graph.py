@@ -112,7 +112,9 @@ def ancestor_closure(
             .join(_closure_so_far(), ["node", "ancestor"], "left_anti")
         )
         nxt = _checkpoint(nxt)
-        if nxt.isEmpty():
+        # 1-row count aggregate, consistent with the signature convergence
+        # tests elsewhere — no isEmpty in any iterative loop
+        if nxt.agg(F.count("*").alias("n")).collect()[0]["n"] == 0:
             break
         deltas.append(nxt)
         frontier = nxt

@@ -124,8 +124,10 @@ def expand_disambiguation(
     srcs = disamb.select(F.col("src").alias("entity")).distinct()
     cur = term2entity
     for _ in range(max_depth):
-        ambiguous = cur.join(srcs, "entity", "left_semi")
-        if ambiguous.isEmpty():
+        ambiguous = _checkpoint(cur.join(srcs, "entity", "left_semi"))
+        # 1-row count aggregate (checkpointed input, so the expansion
+        # below reuses the materialization) — no isEmpty in the loop
+        if ambiguous.agg(F.count("*").alias("n")).collect()[0]["n"] == 0:
             break
         resolved = cur.join(srcs, "entity", "left_anti")
         expanded = (
