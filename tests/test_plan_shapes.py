@@ -102,3 +102,61 @@ def test_boilerplate_phrases_one_unit_shuffle(spark, sf_dir):
     # spread repartition + doc window + phrase agg — and nothing more
     assert ops.get("Exchange", 0) <= 3, ops
     assert ops.get("HashAggregate", 0) >= 2, "phrase agg must partial-agg"
+
+
+def _raw_plan(df):
+    spark = df.sparkSession
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_star_edges_window_not_join(spark):
+    """surface_star_edges must be one window pass on nsurf — a self-join
+    here is the S^2 edge blow-up the operator exists to avoid."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        surface_star_edges,
+    )
+
+    anchor = spark.createDataFrame(
+        [(f"E{i}", "usa") for i in range(50)], "entity string, surface string"
+    )
+    plan = _raw_plan(surface_star_edges(anchor))
+    ops = op_counts(plan)
+    assert ops.get("Window", 0) == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert ops.get(join_op, 0) == 0, f"unexpected {join_op} in star edges"
+
+
+def test_first_token_pruning_semi_join_is_broadcast(spark):
+    """Past the IN-list limit, first-token pruning must run as a broadcast
+    LEFT SEMI join — never a shuffle of the corpus side."""
+    import thesaurus_based_ner_spark.operators.mentions as M
+    from thesaurus_based_ner_spark.operators.mentions import (
+        detect_mentions_df,
+        thesaurus_dim_from_df,
+        tokenize_df,
+    )
+
+    terms = spark.createDataFrame(
+        [(f"term{i}", "L") for i in range(40)], "term string, label string"
+    )
+    snts = tokenize_df(
+        spark.createDataFrame(
+            [("d1", "term1 x term2 y")], "doc_id string, text string"
+        ),
+        "text",
+    ).select("doc_id", "tokens")
+    old = M._FT_IN_LIMIT
+    try:
+        M._FT_IN_LIMIT = 10  # force the semi-join path
+        plan = _raw_plan(
+            detect_mentions_df(snts, thesaurus_dim_from_df(terms), ["doc_id"])
+        )
+    finally:
+        M._FT_IN_LIMIT = old
+    assert "LeftSemi" in plan
+    assert "BroadcastHashJoin" in plan
+    assert op_counts(plan).get("SortMergeJoin", 0) == 0
