@@ -68,6 +68,9 @@ _PRIORITY = [
     "inflected_terms",
     "label_vocab_counts",
     "pseudo_sentences",
+    "span_mismatch",
+    "label_tree_rollup",
+    "dataset_span_diff",
 ]
 
 

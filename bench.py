@@ -102,6 +102,9 @@ HEADLINE = [
     "inflected_terms",
     "label_vocab_counts",
     "pseudo_sentences",
+    "span_mismatch",
+    "label_tree_rollup",
+    "dataset_span_diff",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))

@@ -174,3 +174,15 @@ def test_bio_tags(spark, sentences):
         assert list(r.ner_tags) == want, (r.url, r.snt_id, toks)
     # at least one sentence has a non-O tag
     assert any(t != "O" for r in rows for t in r.ner_tags)
+
+
+def test_df_strategy_empty_dataframe_dim(spark, sentences):
+    """An empty DataFrame dim yields zero mentions with the right schema
+    (thesaurus_with_case raises, but DataFrame dims can legally be empty
+    — e.g. a fully filtered thesaurus)."""
+    empty = thesaurus_dim_from_df(
+        spark.createDataFrame([], "term string, label string")
+    )
+    out = detect_mentions_df(sentences, empty, ["url", "snt_id"])
+    assert out.columns == ["url", "snt_id", "m_start", "m_end", "surface", "label"]
+    assert out.count() == 0

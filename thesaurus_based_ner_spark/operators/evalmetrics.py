@@ -435,3 +435,144 @@ def metric_diff(
         "focus_value",
         (F.col("focus_value") - F.col("base_value")).alias("delta"),
     )
+
+
+def span_mismatch_analysis(
+    pred: DataFrame, gold: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """Boundary-delta span classification (reference
+    cli/analysis/analyze_span_mismatch.py:16-118): per predicted label —
+    TP (exact span+label match), FP (no same-label token overlap at all),
+    and for partially-overlapping same-label gold spans the four boundary
+    counters early_start (gold starts later), late_start (gold starts
+    earlier), early_end (gold ends later), late_end (gold ends earlier),
+    each counted once PER overlapping gold span; plus an 'All' total row.
+
+    Relational: one exact semi/anti split on the full key, one
+    label-equal interval join for the partial counters, one anti-join for
+    FPs — all equi-keyed on the sentence id, mention-sized.
+    """
+    keys = id_cols + ["m_start", "m_end", "label"]
+    tp = (
+        pred.join(gold, keys, "left_semi")
+        .groupBy("label")
+        .agg(F.count("*").alias("tp"))
+    )
+    nonex = pred.join(gold, keys, "left_anti")
+    p = nonex.alias("p")
+    g = gold.alias("g")
+    cond = (F.col("p.label") == F.col("g.label")) & (
+        F.col("p.m_start") < F.col("g.m_end")
+    ) & (F.col("g.m_start") < F.col("p.m_end"))
+    for c in id_cols:
+        cond = cond & (F.col(f"p.{c}") == F.col(f"g.{c}"))
+    j = p.join(g, cond, "inner")
+    partial = j.groupBy(F.col("p.label").alias("label")).agg(
+        F.sum(F.when(F.col("g.m_start") > F.col("p.m_start"), 1).otherwise(0))
+        .alias("early_start"),
+        F.sum(F.when(F.col("g.m_start") < F.col("p.m_start"), 1).otherwise(0))
+        .alias("late_start"),
+        F.sum(F.when(F.col("g.m_end") > F.col("p.m_end"), 1).otherwise(0))
+        .alias("early_end"),
+        F.sum(F.when(F.col("g.m_end") < F.col("p.m_end"), 1).otherwise(0))
+        .alias("late_end"),
+    )
+    fp = (
+        p.join(g, cond, "left_anti")
+        .groupBy("label")
+        .agg(F.count("*").alias("fp"))
+    )
+    labels = pred.select("label").distinct()
+    per = (
+        labels.join(tp, "label", "left")
+        .join(fp, "label", "left")
+        .join(partial, "label", "left")
+        .select(
+            "label",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+                for c in (
+                    "tp", "fp", "early_start", "late_start",
+                    "early_end", "late_end",
+                )
+            ],
+        )
+    )
+    counters = ("tp", "fp", "early_start", "late_start",
+                "early_end", "late_end")
+    totals = per.agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in counters]
+    ).select(F.lit("All").alias("label"), *counters)
+    return per.unionByName(totals)
+
+
+def hierarchical_label_rollup(
+    counts: DataFrame,
+    edges: DataFrame,
+    label_col: str = "label",
+    n_col: str = "n",
+    child_col: str = "child",
+    parent_col: str = "parent",
+) -> DataFrame:
+    """Subtree-consistent label counts with percent-of-root (reference
+    tree_visualize.make_node2count_consistently_with_child2parent:169-186
+    + get_tree_str:145-162 ratios): rolled(node) = Σ own counts over the
+    node's subtree (descendants incl. self); pct = 100·rolled/total.
+
+    One closure build (dim-sized) + one join + one aggregate; the total is
+    a 1-row broadcast, never a driver value.
+    """
+    from thesaurus_based_ner_spark.operators.graph import ancestor_closure
+
+    closure = ancestor_closure(edges, child_col, parent_col, include_self=True)
+    rolled = (
+        counts.join(closure, counts[label_col] == closure["node"])
+        .groupBy(F.col("ancestor").alias(label_col))
+        .agg(F.sum(n_col).alias("n_rolled"))
+    )
+    own = counts.select(
+        F.col(label_col), F.col(n_col).alias("n_self")
+    )
+    tree_nodes = closure.select("node").distinct()
+    total = (
+        counts.join(tree_nodes, counts[label_col] == tree_nodes["node"], "left_semi")
+        .agg(F.sum(n_col).alias("__total"))
+    )
+    return (
+        rolled.join(own, label_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            label_col,
+            F.coalesce("n_self", F.lit(0)).cast("bigint").alias("n_self"),
+            F.col("n_rolled").cast("bigint").alias("n_rolled"),
+            F.round(F.col("n_rolled") * 100.0 / F.col("__total"), 6).alias(
+                "pct_of_root"
+            ),
+        )
+    )
+
+
+def dataset_span_diff(
+    base: DataFrame, focus: DataFrame, id_cols: list[str]
+) -> DataFrame:
+    """Over/under-predicted span diff between two span datasets restricted
+    to sentences present in BOTH (reference error_analysis/
+    compare_msc_datasets.py:17-45): 'over' = focus − base, 'under' =
+    base − focus, as span rows with a direction column.
+    """
+    shared = (
+        base.select(*id_cols).distinct()
+        .join(focus.select(*id_cols).distinct(), id_cols, "inner")
+    )
+    keys = id_cols + ["m_start", "m_end", "label"]
+    b = base.join(shared, id_cols, "left_semi")
+    f = focus.join(shared, id_cols, "left_semi")
+    over = f.join(b, keys, "left_anti").withColumn(
+        "direction", F.lit("over")
+    )
+    under = b.join(f, keys, "left_anti").withColumn(
+        "direction", F.lit("under")
+    )
+    return over.select(*keys, "direction").unionByName(
+        under.select(*keys, "direction")
+    )

@@ -317,6 +317,17 @@ def detect_mentions_df(
     """
     lens_set = thesaurus.agg(F.collect_set("n_tokens")).first()[0]
     lens = sorted(lens_set)
+    if not lens:
+        # empty dim (thesaurus_with_case raises earlier, but a DataFrame
+        # dim can legally be empty): no mentions, correct schema
+        spark = df.sparkSession
+        dtypes = {f.name: f.dataType.simpleString() for f in df.schema}
+        id_schema = ", ".join(f"{c} {dtypes[c]}" for c in id_cols)
+        return spark.createDataFrame(
+            [],
+            id_schema
+            + ", m_start bigint, m_end bigint, surface string, label string",
+        )
     ft_dim = thesaurus.select(
         F.split("joined_lower", " ").getItem(0).alias("__ft")
     ).distinct()

@@ -548,3 +548,205 @@ def pseudo_sentences(spark, sf_dir):
         .cast("bigint")
         .alias("n_tagged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-mismatch boundary analysis (reference cli/analysis/
+# analyze_span_mismatch.py) over the token-length-run gold/pred fixtures
+# ---------------------------------------------------------------------------
+
+def _span_mismatch_oracle() -> str:
+    from thesaurus_based_ner_spark.plans.queries_ext import _dual_cte
+
+    return _dual_cte() + """
+    , exact AS (
+      SELECT p.label FROM pred p WHERE EXISTS (
+        SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.m_start = p.m_start AND g.m_end = p.m_end
+          AND g.label = p.label)
+    ),
+    nonex AS (
+      SELECT p.* FROM pred p WHERE NOT EXISTS (
+        SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.m_start = p.m_start AND g.m_end = p.m_end
+          AND g.label = p.label)
+    ),
+    j AS (
+      SELECT p.label, p.m_start AS ps, p.m_end AS pe,
+             g.m_start AS gs, g.m_end AS ge
+      FROM nonex p JOIN gold g ON g.doc_id = p.doc_id
+        AND g.label = p.label
+        AND p.m_start < g.m_end AND g.m_start < p.m_end
+    ),
+    partial AS (
+      SELECT label,
+             SUM(CASE WHEN gs > ps THEN 1 ELSE 0 END) AS early_start,
+             SUM(CASE WHEN gs < ps THEN 1 ELSE 0 END) AS late_start,
+             SUM(CASE WHEN ge > pe THEN 1 ELSE 0 END) AS early_end,
+             SUM(CASE WHEN ge < pe THEN 1 ELSE 0 END) AS late_end
+      FROM j GROUP BY label
+    ),
+    fpt AS (
+      SELECT p.label, COUNT(*) AS fp FROM nonex p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.label = p.label
+          AND p.m_start < g.m_end AND g.m_start < p.m_end)
+      GROUP BY p.label
+    ),
+    tpt AS (SELECT label, COUNT(*) AS tp FROM exact GROUP BY label),
+    per AS (
+      SELECT l.label,
+             CAST(COALESCE(t.tp, 0) AS BIGINT) AS tp,
+             CAST(COALESCE(f.fp, 0) AS BIGINT) AS fp,
+             CAST(COALESCE(pa.early_start, 0) AS BIGINT) AS early_start,
+             CAST(COALESCE(pa.late_start, 0) AS BIGINT) AS late_start,
+             CAST(COALESCE(pa.early_end, 0) AS BIGINT) AS early_end,
+             CAST(COALESCE(pa.late_end, 0) AS BIGINT) AS late_end
+      FROM (SELECT DISTINCT label FROM pred) l
+      LEFT JOIN tpt t USING (label)
+      LEFT JOIN fpt f USING (label)
+      LEFT JOIN partial pa USING (label)
+    )
+    SELECT * FROM per
+    UNION ALL
+    SELECT 'All', CAST(SUM(tp) AS BIGINT), CAST(SUM(fp) AS BIGINT),
+           CAST(SUM(early_start) AS BIGINT), CAST(SUM(late_start) AS BIGINT),
+           CAST(SUM(early_end) AS BIGINT), CAST(SUM(late_end) AS BIGINT)
+    FROM per
+    """
+
+
+def _register_span_mismatch():
+    from thesaurus_based_ner_spark.operators.evalmetrics import (
+        span_mismatch_analysis,
+    )
+    from thesaurus_based_ner_spark.plans.queries_ext import (
+        _gold_spans,
+        _pred_spans,
+    )
+
+    @q("span_mismatch", oracle=_span_mismatch_oracle())
+    def span_mismatch(spark, sf_dir):
+        """Boundary-delta span classification (analyze_span_mismatch.py):
+        TP / FP / early-late start-end counters per predicted label plus
+        the All row, over the deterministic token-length-run gold/pred
+        fixture pair."""
+        return span_mismatch_analysis(
+            _pred_spans(spark, sf_dir), _gold_spans(spark, sf_dir), ["doc_id"]
+        )
+
+
+_register_span_mismatch()
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical label-count rollup (reference tree_visualize:145-186) and
+# dataset span diff (error_analysis/compare_msc_datasets.py)
+# ---------------------------------------------------------------------------
+
+@q(
+    "label_tree_rollup",
+    oracle="""
+    WITH RECURSIVE
+    counts AS (SELECT p_brand AS label, COUNT(*) AS n FROM part GROUP BY 1),
+    e1 AS (
+      SELECT DISTINCT p_brand AS child, string_split(p_type, ' ')[1] AS parent
+      FROM part
+    ),
+    edges AS (
+      SELECT child, parent FROM e1
+      UNION SELECT DISTINCT parent, 'ROOT' FROM e1
+    ),
+    closure(node, anc) AS (
+      SELECT child, child FROM edges
+      UNION SELECT DISTINCT parent, parent FROM edges
+      UNION SELECT c.node, e.parent FROM closure c JOIN edges e
+        ON c.anc = e.child
+    ),
+    rolled AS (
+      SELECT cl.anc AS label, SUM(c.n) AS n_rolled
+      FROM counts c JOIN closure cl ON c.label = cl.node
+      GROUP BY cl.anc
+    ),
+    total AS (
+      SELECT SUM(n) AS t FROM counts
+      WHERE label IN (SELECT node FROM closure)
+    )
+    SELECT r.label,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_self,
+           CAST(r.n_rolled AS BIGINT) AS n_rolled,
+           ROUND(r.n_rolled * 100.0 / total.t, 6) AS pct_of_root
+    FROM rolled r LEFT JOIN counts c ON r.label = c.label, total
+    """,
+)
+def label_tree_rollup(spark, sf_dir):
+    """Subtree-consistent per-label counts with percent-of-root over the
+    brand -> type-word -> ROOT hierarchy (the reference's UMLS semantic-
+    type tree statistics, tree_visualize.py:145-186)."""
+    from thesaurus_based_ner_spark.operators.evalmetrics import (
+        hierarchical_label_rollup,
+    )
+
+    p = T(spark, sf_dir, "part")
+    counts = p.groupBy(F.col("p_brand").alias("label")).agg(
+        F.count("*").alias("n")
+    )
+    brand_edges = p.select(
+        F.col("p_brand").alias("child"),
+        F.split("p_type", " ").getItem(0).alias("parent"),
+    ).distinct()
+    root_edges = brand_edges.select(
+        F.col("parent").alias("child"), F.lit("ROOT").alias("parent")
+    ).distinct()
+    return hierarchical_label_rollup(
+        counts, brand_edges.unionByName(root_edges)
+    )
+
+
+def _register_span_diff():
+    from thesaurus_based_ner_spark.operators.evalmetrics import (
+        dataset_span_diff,
+    )
+    from thesaurus_based_ner_spark.plans.queries_ext import (
+        _dual_cte,
+        _gold_spans,
+        _pred_spans,
+    )
+
+    oracle = _dual_cte() + """
+    , shared AS (
+      SELECT DISTINCT g.doc_id FROM gold g JOIN pred p USING (doc_id)
+    ),
+    over_s AS (
+      SELECT p.doc_id, p.m_start, p.m_end, p.label, 'over' AS direction
+      FROM pred p JOIN shared USING (doc_id)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+          AND g.m_start = p.m_start AND g.m_end = p.m_end
+          AND g.label = p.label)
+    ),
+    under_s AS (
+      SELECT g.doc_id, g.m_start, g.m_end, g.label, 'under' AS direction
+      FROM gold g JOIN shared USING (doc_id)
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pred p WHERE p.doc_id = g.doc_id
+          AND p.m_start = g.m_start AND p.m_end = g.m_end
+          AND p.label = g.label)
+    )
+    SELECT * FROM over_s UNION ALL SELECT * FROM under_s
+    """
+
+    @q("dataset_span_diff", oracle=oracle)
+    def dataset_span_diff_q(spark, sf_dir):
+        """Over/under-predicted spans between the gold and pred fixture
+        datasets on shared sentences (compare_msc_datasets.py) — base =
+        gold runs, focus = pred runs."""
+        return dataset_span_diff(
+            _gold_spans(spark, sf_dir),
+            _pred_spans(spark, sf_dir),
+            ["doc_id"],
+        )
+
+
+_register_span_diff()
