@@ -71,6 +71,8 @@ _PRIORITY = [
     "span_mismatch",
     "label_tree_rollup",
     "dataset_span_diff",
+    "tagged_space_removal",
+    "doc_sentence_split",
 ]
 
 

@@ -105,6 +105,8 @@ HEADLINE = [
     "span_mismatch",
     "label_tree_rollup",
     "dataset_span_diff",
+    "tagged_space_removal",
+    "doc_sentence_split",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))
@@ -370,7 +372,20 @@ def _comp_pair_row(comp: dict, n: int, n4: int) -> str:
     return f"| {n} → {n4} | {raw_eff} | {eng_eff} | {rel} |"
 
 
-SCALING_PAIRS = [(1, 4), (2, 8), (8, 32)]
+def _pairs_from_env() -> list[tuple[int, int]]:
+    """SPARK_GRAFT_SCALING_PAIRS="1:4,2:8" overrides the default pair set —
+    used for targeted re-runs (e.g. the (1,4) pair at a larger doc count
+    where fixed per-job costs amortize)."""
+    raw = os.environ.get("SPARK_GRAFT_SCALING_PAIRS", "")
+    if not raw:
+        return [(1, 4), (2, 8), (8, 32)]
+    return [
+        (int(a), int(b))
+        for a, b in (p.split(":") for p in raw.split(",") if p)
+    ]
+
+
+SCALING_PAIRS = _pairs_from_env()
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
 
@@ -397,8 +412,12 @@ def main_scaling() -> None:
     docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
     levels = sorted({c for pair in SCALING_PAIRS for c in pair})
     bw = hw_bandwidth_probe()
-    # run D: compute-bound positive control (engine vs raw processes)
-    comp = compute_scaling_probe((8, 32))
+    # run D: compute-bound positive control (engine vs raw processes);
+    # skippable for targeted pipeline-only re-runs
+    if os.environ.get("SPARK_GRAFT_SKIP_COMPUTE_PROBE"):
+        comp = {"raw_tasks_per_sec": {}, "engine_tasks_per_sec": {}}
+    else:
+        comp = compute_scaling_probe((8, 32))
     # Host-noise-robust interleaving: rather than all reps of one level
     # then all reps of the next (minutes apart — a background noise burst
     # lands on ONE level and skews the ratio), each ROUND runs every

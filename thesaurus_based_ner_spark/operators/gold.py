@@ -406,3 +406,57 @@ def map_conll_categories(
         .withColumn(label_col, F.coalesce("conll_cat", F.col(label_col)))
         .drop("dbpedia_class", "conll_cat")
     )
+
+
+# --- original-dataset assembly helpers (orig_dataset.py) --------------------
+
+def remove_space_tokens_df(
+    tagged: DataFrame, tokens_col: str = "tokens", tags_col: str = "ner_tags"
+) -> DataFrame:
+    """Drop literal-space tokens and their tags IN PARALLEL (reference
+    remove_space_token, src/dataset/orig_dataset.py:86-101 — the JNLPBA
+    corpus carries stray ' ' tokens that would desync BIO offsets).
+    Pure array built-ins: one zip, one filter, two projections."""
+    z = F.filter(
+        F.arrays_zip(tokens_col, tags_col), lambda s: s[tokens_col] != " "
+    )
+    return (
+        tagged.withColumn("__z", z)
+        .withColumn(tokens_col, F.transform("__z", lambda s: s[tokens_col]))
+        .withColumn(tags_col, F.transform("__z", lambda s: s[tags_col]))
+        .drop("__z")
+    )
+
+
+def split_doc_sentences_df(
+    docs: DataFrame,
+    id_cols: list[str],
+    bos_col: str = "bos_ids",
+    tokens_col: str = "tokens",
+    tags_col: str = "ner_tags",
+) -> DataFrame:
+    """Document rows → sentence rows sliced at begin-of-sentence offsets
+    (reference snt_tokenize_ner_datasets, orig_dataset.py:255-289: for
+    each (s, e) in zip(bos, bos[1:] + [len(tokens)]) emit the token/tag
+    slices with a per-document snt_id). posexplode over the bounds array —
+    map-side, no shuffle."""
+    n = F.size(tokens_col)
+    ends = F.concat(
+        F.slice(
+            F.col(bos_col), 2, F.greatest(F.size(bos_col) - 1, F.lit(0))
+        ),
+        F.array(n),
+    )
+    bounds = F.arrays_zip(F.col(bos_col).alias("s"), ends.alias("e"))
+    exploded = docs.select(
+        *id_cols, tokens_col, tags_col,
+        F.posexplode(bounds).alias("snt_id", "__b"),
+    )
+    s = F.col("__b.s")
+    ln = (F.col("__b.e") - s).cast("int")
+    return exploded.select(
+        *id_cols,
+        F.col("snt_id").cast("bigint").alias("snt_id"),
+        F.slice(F.col(tokens_col), (s + 1).cast("int"), ln).alias(tokens_col),
+        F.slice(F.col(tags_col), (s + 1).cast("int"), ln).alias(tags_col),
+    )

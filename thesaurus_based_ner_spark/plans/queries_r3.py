@@ -32,6 +32,14 @@ from thesaurus_based_ner_spark.plans.queries import (
     spread,
 )
 
+from thesaurus_based_ner_spark.plans.queries import _SQL_TOKEN_RE as _SQL_TOKEN_RE_R3
+
+
+def _doc_tokens_r3(spark, sf_dir):
+    docs = spread(T(spark, sf_dir, "documents").select("doc_id", "text"))
+    return tokenize_df(docs, "text").select("doc_id", "tokens")
+
+
 # ---------------------------------------------------------------------------
 # S1/S4: real file-scan operators over synthesized fixture files
 # ---------------------------------------------------------------------------
@@ -750,3 +758,139 @@ def _register_span_diff():
 
 
 _register_span_diff()
+
+
+# ---------------------------------------------------------------------------
+# Original-dataset assembly (reference src/dataset/orig_dataset.py):
+# space-token removal with tag alignment + doc→sentence splitting
+# ---------------------------------------------------------------------------
+
+@q(
+    "tagged_space_removal",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{{token_re}}') AS toks
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+            FROM docs)
+    SELECT doc_id,
+           string_agg(toks[p], '|' ORDER BY p) AS tokens,
+           string_agg('T' || (p - 1), '|' ORDER BY p) AS tags
+    FROM pos GROUP BY doc_id
+    """.replace("{token_re}", _SQL_TOKEN_RE_R3),
+)
+def tagged_space_removal(spark, sf_dir):
+    """remove_space_token (orig_dataset.py:86-101): inject literal-space
+    tokens (with sentinel tags) every 5th position, run the parallel
+    array filter, and require the output to equal the ORIGINAL
+    token/tag arrays exactly — any desync between the two filters breaks
+    the value hash."""
+    from thesaurus_based_ner_spark.operators.gold import (
+        remove_space_tokens_df,
+    )
+
+    toks = _doc_tokens_r3(spark, sf_dir)
+    base = toks.select(
+        "doc_id",
+        F.col("tokens"),
+        F.transform(
+            "tokens", lambda t, i: F.concat(F.lit("T"), i.cast("string"))
+        ).alias("ner_tags"),
+    )
+    injected = base.select(
+        "doc_id",
+        F.flatten(
+            F.transform(
+                "tokens",
+                lambda t, i: F.when(
+                    i % 5 == 2, F.array(F.lit(" "), t)
+                ).otherwise(F.array(t)),
+            )
+        ).alias("tokens"),
+        F.flatten(
+            F.transform(
+                "ner_tags",
+                lambda t, i: F.when(
+                    i % 5 == 2, F.array(F.lit("S"), t)
+                ).otherwise(F.array(t)),
+            )
+        ).alias("ner_tags"),
+    )
+    out = remove_space_tokens_df(injected)
+    return out.select(
+        "doc_id",
+        F.array_join("tokens", "|").alias("tokens"),
+        F.array_join("ner_tags", "|").alias("tags"),
+    )
+
+
+@q(
+    "doc_sentence_split",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, regexp_extract_all(text, '{{token_re}}') AS toks
+      FROM documents
+    ),
+    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS p
+            FROM docs),
+    lagged AS (
+      SELECT doc_id, p, toks[p] AS tok,
+             COALESCE(LAG(toks[p]) OVER (PARTITION BY doc_id ORDER BY p),
+                      '') AS prev_tok
+      FROM pos
+    ),
+    sid AS (
+      SELECT doc_id, p, tok,
+             SUM(CASE WHEN prev_tok = 'scan' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS snt_id
+      FROM lagged
+    )
+    SELECT doc_id, CAST(snt_id AS BIGINT) AS snt_id,
+           string_agg(tok, ' ' ORDER BY p) AS sentence,
+           string_agg('T' || (p - 1), '|' ORDER BY p) AS tags
+    FROM sid GROUP BY doc_id, snt_id
+    """.replace("{token_re}", _SQL_TOKEN_RE_R3),
+)
+def doc_sentence_split(spark, sf_dir):
+    """snt_tokenize_ner_datasets (orig_dataset.py:255-289): document rows
+    sliced into sentence rows at begin-of-sentence offsets (bos = 0 plus
+    every position after a 'scan' token — the word-soup fixture corpus has
+    no periods, so a frequent corpus token plays the boundary), token and tag slices staying aligned —
+    tags carry the GLOBAL document position so any slice misalignment
+    breaks the value hash."""
+    from thesaurus_based_ner_spark.operators.gold import (
+        split_doc_sentences_df,
+    )
+
+    toks = _doc_tokens_r3(spark, sf_dir)
+    base = toks.select(
+        "doc_id",
+        "tokens",
+        F.transform(
+            "tokens", lambda t, i: F.concat(F.lit("T"), i.cast("string"))
+        ).alias("ner_tags"),
+    )
+    n = F.size("tokens")
+    bos = F.concat(
+        F.array(F.lit(0)),
+        F.transform(
+            F.filter(
+                F.arrays_zip(
+                    F.col("tokens").alias("t"),
+                    F.sequence(F.lit(0), n - 1).alias("i"),
+                ),
+                lambda s: (s["t"] == "scan") & (s["i"] + 1 < n),
+            ),
+            lambda s: s["i"] + 1,
+        ),
+    )
+    docs = base.withColumn("bos_ids", bos).filter(n > 0)
+    snts = split_doc_sentences_df(docs, ["doc_id"])
+    return snts.select(
+        "doc_id",
+        "snt_id",
+        F.array_join("tokens", " ").alias("sentence"),
+        F.array_join("ner_tags", "|").alias("tags"),
+    )
