@@ -1,3 +1,5 @@
+import os
+
 import pytest
 
 from thesaurus_based_ner_spark.session import get_spark
@@ -11,4 +13,6 @@ def spark():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    # override to replicate the external driver's gate at its scale:
+    #   SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01 pytest tests/test_oracle_parity.py
+    return os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")

@@ -49,3 +49,27 @@ def test_cli_pipeline_with_tsv_thesaurus(spark, tmp_path, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["triples"] > 0
+
+
+def test_tsv_loader_preserves_quotes(spark, tmp_path):
+    """Terms/labels containing double quotes must round-trip verbatim —
+    Spark CSV's default quote char would strip or mangle them (ADVICE r3);
+    the loader splits purely on tabs like a line parser."""
+    from thesaurus_based_ner_spark.cli import _load_thesaurus
+
+    tsv = tmp_path / "q.tsv"
+    tsv.write_text(
+        '# comment line\n'
+        '"shock" protein\tProtein\n'
+        'plain term\tDisease "X"\n'
+        'a"b\tLabel\n'
+    )
+    rows = {
+        (r["term"], r["label"])
+        for r in _load_thesaurus(spark, str(tsv)).collect()
+    }
+    assert rows == {
+        ('"shock" protein', "Protein"),
+        ("plain term", 'Disease "X"'),
+        ('a"b', "Label"),
+    }

@@ -128,3 +128,34 @@ def test_surface_star_edges_linear_on_skewed_surface(spark):
     assert ("E199", "E000") in canon
     assert ("E900", "E900") in canon  # singleton maps to itself
     assert ("E901", "E901") in canon
+
+
+def test_surface_star_edges_null_surfaces_do_not_merge(spark):
+    """NULL/blank surfaces must emit NO edges (ADVICE r3: the window
+    treats NULL as an ordinary partition key, which would star every
+    dirty-anchor entity to one hub and collapse them into a single
+    canonical cluster; the pre-star pairwise join was null-rejecting)."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        canonicalize_entities,
+        surface_star_edges,
+    )
+
+    anchor = spark.createDataFrame(
+        [
+            ("E1", None),
+            ("E2", None),
+            ("E3", "   "),
+            ("E4", "usa"),
+            ("E5", "USA"),
+        ],
+        "entity string, surface string",
+    )
+    assert surface_star_edges(anchor).count() == 1  # only the USA pair
+    canon = {
+        (r["entity"], r["canonical"])
+        for r in canonicalize_entities(anchor).collect()
+    }
+    # dirty-surface entities stay singleton clusters
+    assert ("E1", "E1") in canon and ("E2", "E2") in canon
+    assert ("E3", "E3") in canon
+    assert ("E5", "E4") in canon

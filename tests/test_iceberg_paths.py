@@ -40,10 +40,16 @@ def icat(spark, tmp_path, monkeypatch):
     calls: list = []
     sqls: list[str] = []
 
+    class _SnapshotResult:
+        def collect(self):
+            return [{"snapshot_id": 4242}]
+
     def fake_sql(query, *a, **kw):
         sqls.append(query)
         if ".files" in query:  # lineage probe: no metadata table → caught
             raise RuntimeError("no iceberg metadata in mock")
+        if ".snapshots" in query:  # snapshot-id lineage probe
+            return _SnapshotResult()
         return None
 
     monkeypatch.setattr(spark, "sql", fake_sql, raising=False)
@@ -103,6 +109,9 @@ def test_iceberg_write_uses_v2_create_or_replace(spark, icat):
     assert out.columns == ["k", "v"]  # read-back via spark.table
     meta = cat._read_meta("triples")
     assert meta["stage"] == "s" and meta["partitions"] == []
+    # snapshot-id lineage: the committed snapshot is pinned in the sidecar
+    assert meta["snapshot_id"] == 4242
+    assert any(".snapshots" in q and "ORDER BY committed_at" in q for q in sqls)
 
 
 def test_iceberg_upsert_issues_merge_into(spark, icat):
@@ -117,6 +126,9 @@ def test_iceberg_upsert_issues_merge_into(spark, icat):
     assert "t.k = s.k" in m
     assert "WHEN MATCHED THEN UPDATE SET *" in m
     assert "WHEN NOT MATCHED THEN INSERT *" in m
+    # the in-place MERGE refreshes the sidecar with the new snapshot id
+    assert cat._read_meta("dim")["snapshot_id"] == 4242
+    assert cat._read_meta("dim")["stage"] == "upsert:dim"
 
 
 def test_iceberg_replace_groups_deletes_then_appends(spark, icat):
@@ -127,6 +139,9 @@ def test_iceberg_replace_groups_deletes_then_appends(spark, icat):
     deletes = [q for q in sqls if q.startswith("DELETE FROM")]
     assert len(deletes) == 1 and f"{cat.namespace}.men" in deletes[0]
     assert ("append", f"{cat.namespace}.men") in calls
+    # DELETE+append refreshes the sidecar with the post-commit snapshot
+    assert cat._read_meta("men")["snapshot_id"] == 4242
+    assert cat._read_meta("men")["stage"] == "replace:men"
 
 
 def test_swap_write_crash_recovery(spark, tmp_path):

@@ -109,6 +109,50 @@ def test_trie_dist_strategy_matches_oracle(spark, sentences, tmp_path):
     assert got == want
 
 
+def test_trie_dist_rewrites_uncommitted_side_file(spark, sentences, tmp_path):
+    """A side dir containing *.parquet but NO _SUCCESS marker (crashed /
+    partially committed prior write) must be rewritten, not reused —
+    otherwise executors silently build tries from an incomplete thesaurus
+    (ADVICE r3)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import thesaurus_based_ner_spark.operators.mentions as M
+
+    # First run learns the content-fingerprinted path
+    _collect(
+        detect_mentions_trie_dist(
+            sentences, _terms_df(spark), ["url", "snt_id"],
+            side_dir=str(tmp_path),
+        )
+    )
+    (fp_dir,) = [d for d in os.listdir(tmp_path) if d.startswith("tbner_th_")]
+    path = tmp_path / fp_dir
+    # Simulate the partial commit: task files present, no job-level marker
+    for f in os.listdir(path):
+        os.remove(path / f)
+    pq.write_table(
+        pa.table({"term": ["bogus"], "label": ["Bogus"]}),
+        path / "part-00000-partial.parquet",
+    )
+    assert not (path / "_SUCCESS").exists()
+    M._TRIE_CACHE.clear()  # drop the in-process trie so the file is re-read
+
+    got = _collect(
+        detect_mentions_trie_dist(
+            sentences, _terms_df(spark), ["url", "snt_id"],
+            side_dir=str(tmp_path),
+        )
+    )
+    want = oracle_mentions(
+        [(r.url, r.snt_id, r.tokens) for r in sentences.collect()]
+    )
+    assert got == want  # full dim restored, partial file not trusted
+    assert (path / "_SUCCESS").exists()
+
+
 def test_df_strategy_semi_join_pruning_path(spark, sentences):
     """>10k distinct first tokens forces the broadcast-semi-join pruning
     path (no IN list); results must be unchanged."""

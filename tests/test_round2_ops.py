@@ -174,6 +174,31 @@ def test_few_shot_budget_respected(spark):
     assert picked == {1, 2}
 
 
+def test_few_shot_over_cap_raises_before_collect(spark):
+    """The 200k-sentence cap must fire from count() BEFORE any collect():
+    an over-cap input raises without the per-sentence matrix ever being
+    materialized on the driver (VERDICT r3 wrong #1)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    spans = spark.range(200_001).select(
+        F.col("id").alias("doc_id"), F.lit("A").alias("label")
+    )
+    calls = []
+    orig_collect = type(spans).collect
+
+    def tracking_collect(self):
+        calls.append(1)
+        return orig_collect(self)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(type(spans), "collect", tracking_collect):
+        with pytest.raises(ValueError, match="beyond gold-corpus scale"):
+            sampling.few_shot_sample(spans, ["doc_id"], 2)
+    assert not calls, "collect() ran before the over-cap guard"
+
+
 def test_minhash_rejects_degenerate_band_config(spark):
     import pytest
 

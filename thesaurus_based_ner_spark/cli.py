@@ -46,9 +46,17 @@ def _load_thesaurus(spark, path: str | None):
     if path.endswith(".parquet") or path.rstrip("/").endswith(".parquet"):
         df = spark.read.parquet(path)
     else:
+        # quote="": split purely on tabs like a line parser — Spark CSV's
+        # default '"' quote would strip/mangle terms containing quotes.
+        # PERMISSIVE keeps malformed lines as nulls (filtered below).
+        # NOTE: labels containing tabs keep only field 2 (the reference's
+        # split('\t', 1) kept the full remainder); thesaurus TSVs are
+        # 2-column so this is intentional and documented here.
         df = (
             spark.read.option("sep", "\t")
             .option("comment", "#")
+            .option("quote", "")
+            .option("mode", "PERMISSIVE")
             .schema("term string, label string")
             .csv(path)
         )

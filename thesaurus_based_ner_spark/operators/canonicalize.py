@@ -32,9 +32,18 @@ def surface_star_edges(anchor: DataFrame) -> DataFrame:
     are invariant to star-vs-clique edges, so emit (hub=min entity, other)
     instead: O(S) edges, one window shuffle on nsurf, no join.
     """
-    surf = anchor.select(
-        F.col("entity"), F.lower(F.col("surface")).alias("nsurf")
-    ).distinct()
+    # NULL/empty surfaces must NOT edge: Window.partitionBy treats NULL as
+    # an ordinary key, so without this filter every entity with an
+    # unparsed surface would star-edge to one hub and collapse into a
+    # single canonical cluster. The pre-star pairwise join was
+    # null-rejecting; preserve that semantics.
+    surf = (
+        anchor.filter(
+            F.col("surface").isNotNull() & (F.trim(F.col("surface")) != "")
+        )
+        .select(F.col("entity"), F.lower(F.col("surface")).alias("nsurf"))
+        .distinct()
+    )
     hub = F.min("entity").over(Window.partitionBy("nsurf"))
     return (
         surf.withColumn("__hub", hub)

@@ -576,3 +576,46 @@ def dataset_span_diff(
     return over.select(*keys, "direction").unionByName(
         under.select(*keys, "direction")
     )
+
+
+def span_markup(
+    diff: DataFrame,
+    toks: DataFrame,
+    id_cols: list[str] | None = None,
+    ctx_before: int = 5,
+    ctx_after: int = 6,
+) -> DataFrame:
+    """ASCII bracket markup of each diff span in its ±token context
+    (reference error_analysis/compare.py:105-120: visualize_ner_result
+    renders tokens[max(0, s-5) : e+6] around every over/under span; we
+    emit the deterministic single-line bracket form
+    ``lctx [direction:label span ] rctx`` instead of ipymarkup's
+    multi-line underline art — same information, engine-stable, pure
+    codegen string/array expressions, no UDF).
+
+    diff: (ids..., m_start, m_end, label, direction) span rows.
+    toks: (ids..., tokens) tokenized sentences. One doc-keyed equi-join.
+    """
+    ids = id_cols or ["doc_id"]
+    j = diff.join(toks, ids)
+    ctx_s = F.greatest(F.lit(0), F.col("m_start") - ctx_before)
+    ctx_e = F.least(F.size("tokens"), F.col("m_end") + ctx_after)
+
+    def seg(start_1based, length):  # '' → NULL so concat_ws skips it
+        return F.nullif(
+            F.array_join(F.slice("tokens", start_1based, length), " "),
+            F.lit(""),
+        )
+
+    markup = F.concat_ws(
+        " ",
+        seg(ctx_s + 1, F.col("m_start") - ctx_s),
+        F.concat(F.lit("["), "direction", F.lit(":"), "label"),
+        seg(F.col("m_start") + 1, F.col("m_end") - F.col("m_start")),
+        F.lit("]"),
+        seg(F.col("m_end") + 1, ctx_e - F.col("m_end")),
+    )
+    return j.select(
+        *ids, "m_start", "m_end", "label", "direction",
+        markup.alias("markup"),
+    )

@@ -130,6 +130,56 @@ def ancestor_closure(
     return closure
 
 
+def descendants_bfs(
+    edges: DataFrame,
+    roots: DataFrame,
+    parent_col: str = "cui1",
+    child_col: str = "cui2",
+    max_depth: int = 64,
+) -> DataFrame:
+    """Root-set descendant closure by BFS frontier expansion — the
+    reference's GENIA UMLS loader (get_descendants_cuis,
+    /root/reference/src/dataset/term2cat/genia.py:46-71): iterate MRREL
+    CHD edges from the root set until no unsearched CUIs remain; roots
+    themselves are included in the result.
+
+    Unlike ancestor_closure (all-pairs closure), only the reachable SET
+    propagates — per-round state is O(|reachable|), and each round is one
+    equi-join on the frontier. edges: (parent_col, child_col) rows;
+    roots: 1-column frame of start nodes. Returns 1-column `node`.
+    """
+    _ensure_safe_optimizer(edges.sparkSession)
+    e = _checkpoint(
+        edges.select(
+            F.col(parent_col).alias("parent"), F.col(child_col).alias("child")
+        ).distinct()
+    )
+    seen = [_checkpoint(roots.toDF("node").distinct())]
+    frontier = seen[0]
+
+    def _seen() -> DataFrame:
+        out = _fork(seen[0])
+        for d in seen[1:]:
+            out = out.unionByName(_fork(d))
+        return out
+
+    for _ in range(max_depth):
+        nxt = (
+            _fork(frontier).alias("f")
+            .join(_fork(e).alias("e"), F.col("f.node") == F.col("e.parent"))
+            .select(F.col("e.child").alias("node"))
+            .distinct()
+            .join(_seen(), ["node"], "left_anti")
+        )
+        nxt = _checkpoint(nxt)
+        # 1-row count aggregate for convergence — no isEmpty in loops
+        if nxt.agg(F.count("*").alias("n")).collect()[0]["n"] == 0:
+            break
+        seen.append(nxt)
+        frontier = nxt
+    return _seen()
+
+
 def resolve_chains(
     edges: DataFrame,
     src_col: str = "src",

@@ -462,10 +462,22 @@ def detect_mentions_trie_dist(
         tempfile.gettempdir(), "tbner_thesaurus_side"
     )
     path = os.path.join(base_dir, fp)
-    if not os.path.isdir(path) or not any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    ):
+    # Reuse only a COMMITTED write: a crashed/partial prior attempt can
+    # leave task-committed *.parquet files without the job-level _SUCCESS
+    # marker; building tries from those would silently drop dictionary
+    # entries. mode("overwrite") clears any partial dir and rewrites.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         dim.write.mode("overwrite").parquet(path)
+    master = spark.sparkContext.master or ""
+    if side_dir is None and not master.startswith("local"):
+        import warnings
+
+        warnings.warn(
+            "detect_mentions_trie_dist: default side_dir is a DRIVER-local "
+            f"tempdir, invisible to executors under master={master!r}; "
+            "pass side_dir on shared/distributed storage",
+            stacklevel=2,
+        )
 
     def get_trie():
         trie = _TRIE_CACHE.get(fp)

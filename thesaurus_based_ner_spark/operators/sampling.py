@@ -96,12 +96,16 @@ def few_shot_sample(
         .count()
         .fillna(0)
     )
-    rows = per_snt.collect()
-    if len(rows) > 200_000:
+    # Guard BEFORE collecting: count() is one tiny extra job on the
+    # dim-sized aggregate, while collect()-then-check would OOM the driver
+    # on an unexpectedly large input before the cap could fire.
+    n_sentences = per_snt.count()
+    if n_sentences > 200_000:
         raise ValueError(
             "few_shot_sample collects per-sentence label counts; "
-            f"{len(rows)} sentences is beyond gold-corpus scale"
+            f"{n_sentences} sentences is beyond gold-corpus scale"
         )
+    rows = per_snt.collect()
     labels = [c for c in per_snt.columns if c not in id_cols]
     remaining = {l: sample_num for l in labels}
     # stable order: total spans desc, then sentence key asc

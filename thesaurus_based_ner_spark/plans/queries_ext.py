@@ -135,6 +135,71 @@ def _pred_spans(spark, sf_dir) -> DataFrame:
     return _labeled_runs(_doc_tokens(spark, sf_dir), _PRED_MASK_SPARK())
 
 
+def _span_diff_frames(spark, sf_dir) -> tuple[DataFrame, DataFrame]:
+    """(gold, pred) labeled-run frames from ONE corpus pass, materialized.
+
+    The naive composition (_gold_spans + _pred_spans fed to the anti-join
+    diff) re-derives the tokenize + posexplode + island-window subtree
+    once per REFERENCE — the diff plan references each side ~4×, so the
+    corpus was re-tokenized ~8× and dataset_span_diff was the slowest
+    bench entry at sf0.1 (VERDICT r3). Here both masks ride one exploded
+    frame (side becomes part of the window key — still a single doc-keyed
+    shuffle), the tiny span-level result is localCheckpoint'ed once, and
+    every downstream reference reads the materialized runs. On a real
+    cluster this is exactly the stage you'd checkpoint: spans are ~100×
+    smaller than the token stream.
+    """
+    from thesaurus_based_ner_spark.operators.graph import _checkpoint, _fork
+
+    toks = _doc_tokens(spark, sf_dir)
+    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "tok"))
+    sides = pos.select(
+        "doc_id",
+        "pos",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("gold").alias("side"),
+                    _GOLD_MASK_SPARK().alias("ok"),
+                ),
+                F.struct(
+                    F.lit("pred").alias("side"),
+                    _PRED_MASK_SPARK().alias("ok"),
+                ),
+            )
+        ).alias("m"),
+    ).select("doc_id", "pos", F.col("m.side").alias("side"), F.col("m.ok").alias("ok"))
+    w = Window.partitionBy("doc_id", "side").orderBy("pos")
+    grp = F.sum(
+        F.when(
+            ~F.coalesce(F.lag("ok").over(w), F.lit(False)) | ~F.col("ok"), 1
+        ).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = (
+        sides.withColumn("grp", grp)
+        .filter("ok")
+        .groupBy("doc_id", "side", "grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("m_start"),
+            (F.max("pos") + 1).cast("bigint").alias("m_end"),
+        )
+        .withColumn(
+            "label",
+            F.when(
+                F.col("m_end") - F.col("m_start") >= 2, "MULTI"
+            ).otherwise("SINGLE"),
+        )
+        .drop("grp")
+    )
+    runs = _checkpoint(runs)
+    # _fork: fresh attribute ids per side — the diff plan self-joins the
+    # checkpointed frame (gold × pred anti-joins), and Spark 4.1's
+    # checkpoint plan copy intermittently trips on shared expr ids
+    gold = _fork(runs).filter(F.col("side") == "gold").drop("side")
+    pred = _fork(runs).filter(F.col("side") == "pred").drop("side")
+    return gold, pred
+
+
 _GOLD_CTE = "WITH " + _run_sql(_GOLD_MASK_SQL) + f""",
     gold AS (SELECT doc_id, m_start, m_end, {_RUN_LABEL_SQL} AS label FROM runs)
 """

@@ -718,8 +718,7 @@ def _register_span_diff():
     )
     from thesaurus_based_ner_spark.plans.queries_ext import (
         _dual_cte,
-        _gold_spans,
-        _pred_spans,
+        _span_diff_frames,
     )
 
     oracle = _dual_cte() + """
@@ -749,12 +748,11 @@ def _register_span_diff():
     def dataset_span_diff_q(spark, sf_dir):
         """Over/under-predicted spans between the gold and pred fixture
         datasets on shared sentences (compare_msc_datasets.py) — base =
-        gold runs, focus = pred runs."""
-        return dataset_span_diff(
-            _gold_spans(spark, sf_dir),
-            _pred_spans(spark, sf_dir),
-            ["doc_id"],
-        )
+        gold runs, focus = pred runs, both from the single-pass
+        checkpointed run frame (r3 VERDICT: the per-reference recompute
+        made this the slowest bench query)."""
+        gold, pred = _span_diff_frames(spark, sf_dir)
+        return dataset_span_diff(gold, pred, ["doc_id"])
 
 
 _register_span_diff()

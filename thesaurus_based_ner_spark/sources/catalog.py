@@ -144,6 +144,11 @@ class Catalog:
             ),
         }
         meta["rows_out"] = sum(p["rows"] for p in meta["partitions"])
+        if self.use_iceberg:
+            # snapshot id = the lineage anchor: pin WHICH committed state
+            # this stage produced, so downstream readers / incremental
+            # refresh can time-travel or diff against it.
+            meta["snapshot_id"] = self._iceberg_snapshot_id(name)
         if obs is not None:
             try:
                 meta["observed"] = {
@@ -154,6 +159,28 @@ class Catalog:
         with open(self._meta_path(name), "w") as f:
             json.dump(meta, f, indent=1)
         return self.read(name)
+
+    def _iceberg_snapshot_id(self, name: str):
+        """Latest committed snapshot id from the `.snapshots` metadata
+        table (None when the catalog cannot serve metadata tables)."""
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self._table(name)}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            return rows[0]["snapshot_id"] if rows else None
+        except Exception:
+            return None
+
+    def _update_meta_snapshot(self, name: str, stage: str) -> None:
+        """Refresh the lineage sidecar after an in-place Iceberg commit
+        (MERGE / DELETE+append don't go through write())."""
+        meta = self._read_meta(name) or {"table": name}
+        meta["stage"] = stage
+        meta["written_at"] = time.time()
+        meta["snapshot_id"] = self._iceberg_snapshot_id(name)
+        with open(self._meta_path(name), "w") as f:
+            json.dump(meta, f, indent=1)
 
     def _iceberg_file_counts(self, name: str) -> list[dict]:
         """Per-file lineage from the Iceberg `.files` metadata table."""
@@ -231,6 +258,7 @@ class Catalog:
                 "WHEN MATCHED THEN UPDATE SET * "
                 "WHEN NOT MATCHED THEN INSERT *"
             )
+            self._update_meta_snapshot(name, stage or f"upsert:{name}")
             return self.read(name)
         existing = self.read(name)
         keep = existing.join(df.select(*keys).distinct(), keys, "left_anti")
@@ -319,6 +347,7 @@ class Catalog:
                 f"(SELECT DISTINCT {keys_sql} FROM {view})"
             )
             df.writeTo(self._table(name)).append()
+            self._update_meta_snapshot(name, stage or f"replace:{name}")
             return self.read(name)
         existing = self.read(name)
         keep = existing.join(
