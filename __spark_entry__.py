@@ -39,6 +39,9 @@ _PRIORITY = [
     # round-4 additions: never driver-verified
     "span_markup_diff",
     "genia_descendant_cats",
+    "tui_prefix_terms",
+    "wikidata_class_terms",
+    "twitter_term2cat",
     # r3 code changes without an r3 driver row (mentions/canonicalize)
     "mention_spans",
     "mention_spans_trie",

@@ -110,6 +110,9 @@ HEADLINE = [
     # round 4
     "span_markup_diff",
     "genia_descendant_cats",
+    "tui_prefix_terms",
+    "wikidata_class_terms",
+    "twitter_term2cat",
 ]
 
 PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000"))

@@ -1,4 +1,5 @@
-"""Round-4 query registry extension (VERDICT r3 'Next' #7/#8):
+"""Round-4 query registry extension (VERDICT r3 'Next' #7/#8 + the rest
+of 'missing' #4):
 
 - span_markup_diff: the ASCII bracket-markup rendering of the over/under
   span diff (reference src/error_analysis/compare.py:105-120 renders each
@@ -7,7 +8,12 @@
 - genia_descendant_cats: GENIA-style UMLS descendant-closure term lookup
   (reference src/dataset/term2cat/genia.py:46-94: BFS over MRREL CHD
   edges from a root CUI, then MRCONSO terms of the reachable set with a
-  source-vocabulary exclusion) — closes the last KB-loader family.
+  source-vocabulary exclusion).
+- tui_prefix_terms / wikidata_class_terms / twitter_term2cat: the
+  remaining alternate KB loaders (reference terms.py:40-98 STN-prefix TUI
+  subtree → source-filtered terms; terms.py:204-249 subclass closure →
+  membership → labels∪alias; twitter.py:160-198 subtraction chain +
+  cross-category dedup) — together these close the last KB-loader family.
 
 Fixture convention matches queries_r3: everything derives
 deterministically from the testdata parquet tables; oracles are DuckDB
@@ -142,3 +148,203 @@ def genia_descendant_cats(spark, sf_dir):
         .select("term")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Alternate KB loaders (terms.py / twitter.py) over deterministic fixtures
+# ---------------------------------------------------------------------------
+#
+# SRDEF-shape fixture: tui = 'T'||partkey, stn = letter(partkey%3) ||
+# partkey-digits — truncation-by-10 gives a genuine prefix subtree
+# (root 'T17' → stn 'C17' → descendants {k : k%3==2 and digits start
+# '17'}). MRSTY-shape from lineitem (cui='C'||orderkey, tui='T'||partkey),
+# MRCONSO-shape from orders (lang from orderkey%4, sab=o_orderpriority,
+# term=o_orderdate-as-string) — mirrors load_TUI_terms' lang/src filters.
+
+@q(
+    "tui_prefix_terms",
+    oracle="""
+    WITH srdef AS (
+      SELECT 'T' || p_partkey AS tui,
+             substr('ABC', p_partkey % 3 + 1, 1) || p_partkey AS stn
+      FROM part
+    ),
+    root AS (SELECT stn AS root_stn FROM srdef WHERE tui = 'T17'),
+    des AS (
+      SELECT tui FROM srdef, root WHERE stn LIKE root_stn || '%'
+    ),
+    cuis AS (
+      SELECT DISTINCT 'C' || l_orderkey AS cui FROM lineitem
+      WHERE 'T' || l_partkey IN (SELECT tui FROM des)
+    )
+    SELECT DISTINCT CAST(o_orderdate AS VARCHAR) AS term FROM orders
+    WHERE o_orderkey % 4 = 0
+      AND o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+      AND 'C' || o_orderkey IN (SELECT cui FROM cuis)
+    """,
+)
+def tui_prefix_terms(spark, sf_dir):
+    """STN-prefix TUI subtree → CUIs → source-filtered distinct terms
+    (load_TUI_terms): broadcast 1-row root, broadcast TUI dim, CUI
+    semi-join on the shuffle key; lang/sab filters reach the scan."""
+    from thesaurus_based_ner_spark.operators.kb_loaders import tui_terms
+
+    p = T(spark, sf_dir, "part")
+    srdef = p.select(
+        F.concat(F.lit("T"), "p_partkey").alias("tui"),
+        F.concat(
+            F.substring(F.lit("ABC"), 1, 3).substr(
+                F.col("p_partkey") % 3 + 1, F.lit(1)
+            ),
+            F.col("p_partkey").cast("string"),
+        ).alias("stn"),
+    )
+    li = T(spark, sf_dir, "lineitem")
+    mrsty = li.select(
+        F.concat(F.lit("C"), "l_orderkey").alias("cui"),
+        F.concat(F.lit("T"), "l_partkey").alias("tui"),
+    )
+    o = T(spark, sf_dir, "orders")
+    mrconso = o.select(
+        F.concat(F.lit("C"), "o_orderkey").alias("cui"),
+        F.when(F.col("o_orderkey") % 4 == 0, "ENG").otherwise("FRE").alias(
+            "lang"
+        ),
+        F.col("o_orderpriority").alias("sab"),
+        F.col("o_orderdate").cast("string").alias("term"),
+    )
+    return tui_terms(
+        srdef, mrsty, mrconso, "T17", ["1-URGENT", "3-MEDIUM"]
+    )
+
+
+# Class-graph fixture: subclass edge K(k DIV 5) → K(k); root K2 reaches
+# {2, 10-14, 50-74, 250-374, ...} (depth grows with sf). Membership from
+# supplier (instance-type rows) and customer (subclass rows, distinct ent
+# prefix so the two sources stay disjoint); names = s_name ∪ c_name.
+
+@q(
+    "wikidata_class_terms",
+    oracle="""
+    WITH RECURSIVE des(k) AS (
+      SELECT 2
+      UNION
+      SELECT p.p_partkey FROM part p JOIN des d ON p.p_partkey // 5 = d.k
+      WHERE p.p_partkey // 5 >= 1
+    ),
+    members AS (
+      SELECT 'E' || s_suppkey AS ent, s_name AS name FROM supplier
+      WHERE (s_suppkey * 7) % 500 + 1 IN (SELECT k FROM des)
+      UNION
+      SELECT 'F' || c_custkey AS ent, c_name AS name FROM customer
+      WHERE (c_custkey * 3) % 500 + 1 IN (SELECT k FROM des)
+    )
+    SELECT DISTINCT name FROM members
+    """,
+)
+def wikidata_class_terms_q(spark, sf_dir):
+    """Subclass-closure class membership → labels∪alias names
+    (load_DBPedia_terms): BFS frontier joins for the closure, semi-joins
+    for membership and naming — no all-pairs step anywhere."""
+    from thesaurus_based_ner_spark.operators.kb_loaders import (
+        wikidata_class_terms,
+    )
+
+    p = T(spark, sf_dir, "part")
+    edges = p.select(
+        F.concat(F.lit("K"), F.expr("p_partkey DIV 5")).alias("parent"),
+        F.concat(F.lit("K"), "p_partkey").alias("child"),
+    ).filter(F.expr("p_partkey DIV 5") >= 1)
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    instance_type = s.select(
+        F.concat(F.lit("E"), "s_suppkey").alias("ent"),
+        F.concat(F.lit("K"), (F.col("s_suppkey") * 7) % 500 + 1).alias("cls"),
+    )
+    membership_subclass = c.select(
+        F.concat(F.lit("F"), "c_custkey").alias("ent"),
+        F.concat(F.lit("K"), (F.col("c_custkey") * 3) % 500 + 1).alias("cls"),
+    )
+    labels = s.select(
+        F.concat(F.lit("E"), "s_suppkey").alias("ent"),
+        F.col("s_name").alias("name"),
+    )
+    alias = c.select(
+        F.concat(F.lit("F"), "c_custkey").alias("ent"),
+        F.col("c_name").alias("name"),
+    )
+    roots = spark.sql("SELECT 'K2' AS node")
+    return wikidata_class_terms(
+        edges, instance_type, membership_subclass, labels, alias, roots
+    )
+
+
+# Twitter dictionary fixture: cat = first word of p_type (6 values),
+# term = p_name + a partkey%10 suffix — raw p_name collides across every
+# cat at sf0.01+ (64 distinct names for 2000 parts → empty dictionary);
+# the suffix keeps both cleanup passes exercised AND leaves survivors.
+# Subtraction chain mirrors the reference's ordering semantics
+# (person -= musicartist, geo_loc -= facility, product -= ..., with later
+# pairs seeing earlier results).
+
+_TWITTER_SUBTRACT = [
+    ("STANDARD", "SMALL"),
+    ("LARGE", "MEDIUM"),
+    ("ECONOMY", "PROMO"),
+    ("ECONOMY", "STANDARD"),
+]
+
+
+@q(
+    "twitter_term2cat",
+    oracle="""
+    WITH ct AS (
+      SELECT DISTINCT split_part(p_type, ' ', 1) AS cat,
+             p_name || '/' || (p_partkey % 10) AS term
+      FROM part
+    ),
+    s1 AS (
+      SELECT * FROM ct WHERE cat <> 'STANDARD'
+      UNION ALL
+      SELECT * FROM ct WHERE cat = 'STANDARD'
+        AND term NOT IN (SELECT term FROM ct WHERE cat = 'SMALL')
+    ),
+    s2 AS (
+      SELECT * FROM s1 WHERE cat <> 'LARGE'
+      UNION ALL
+      SELECT * FROM s1 WHERE cat = 'LARGE'
+        AND term NOT IN (SELECT term FROM s1 WHERE cat = 'MEDIUM')
+    ),
+    s3 AS (
+      SELECT * FROM s2 WHERE cat <> 'ECONOMY'
+      UNION ALL
+      SELECT * FROM s2 WHERE cat = 'ECONOMY'
+        AND term NOT IN (SELECT term FROM s2 WHERE cat = 'PROMO')
+    ),
+    s4 AS (
+      SELECT * FROM s3 WHERE cat <> 'ECONOMY'
+      UNION ALL
+      SELECT * FROM s3 WHERE cat = 'ECONOMY'
+        AND term NOT IN (SELECT term FROM s3 WHERE cat = 'STANDARD')
+    )
+    SELECT term, MIN(cat) AS cat FROM s4
+    GROUP BY term HAVING COUNT(DISTINCT cat) = 1
+    """,
+)
+def twitter_term2cat(spark, sf_dir):
+    """Per-category term sets → ordered subtraction chain → cross-category
+    duplicate removal → term2cat (load_twitter_main_dictionary). Each
+    subtraction is one term-keyed anti-join; the dedup is one
+    groupBy(term) keeping single-category terms."""
+    from thesaurus_based_ner_spark.operators.kb_loaders import (
+        dictionary_set_algebra,
+    )
+
+    p = T(spark, sf_dir, "part")
+    cat_terms = p.select(
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("cat"),
+        F.concat(
+            F.col("p_name"), F.lit("/"), F.col("p_partkey") % 10
+        ).alias("term"),
+    )
+    return dictionary_set_algebra(cat_terms, _TWITTER_SUBTRACT)
