@@ -160,3 +160,33 @@ def test_first_token_pruning_semi_join_is_broadcast(spark):
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
     assert op_counts(plan).get("SortMergeJoin", 0) == 0
+
+
+def test_tui_prefix_terms_prunes_orders_scan(spark, sf_dir):
+    # the MRCONSO-shaped projection must not drag unused orders columns
+    # through the scan; no cartesian anywhere (the 1-row root join is a
+    # broadcast nested loop, which is fine)
+    plan = plan_of(spark, "tui_prefix_terms", sf_dir)
+    assert op_counts(plan).get("CartesianProduct", 0) == 0
+    m = re.search(r"ReadSchema: struct<(o_[^>]*)>", plan)
+    assert m, plan[:600]
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"o_orderkey", "o_orderpriority", "o_orderdate"}, (
+        read_cols
+    )
+
+
+def test_twitter_dictionary_plan_depth_is_bounded(spark, sf_dir):
+    # each subtraction step references the running dictionary 3x; without
+    # the per-step localCheckpoint the lazy plan re-derives the base frame
+    # 3^N times (81 part scans after the 4-step chain). Checkpointing
+    # bounds the FINAL plan to the dedup aggregate over one materialized
+    # frame — no parquet scan survives in it at all.
+    plan = plan_of(spark, "twitter_term2cat", sf_dir)
+    ops = op_counts(plan)
+    assert ops.get("Scan", 0) + sum(
+        v for k, v in ops.items() if k.startswith("FileScan")
+    ) <= 1, ops
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or ops.get(
+        "Scan", 0
+    ) <= 1

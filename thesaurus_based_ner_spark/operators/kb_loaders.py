@@ -136,9 +136,15 @@ def dictionary_set_algebra(
     cat_terms: (cat, term). Returns (term, cat), term unique.
     Plan: each subtraction is one term-keyed anti-join of two dim slices;
     the dedup is a groupBy(term) keeping single-category terms — shuffle
-    keys are terms, near-unique, skew-free at dictionary scale.
+    keys are terms, near-unique, skew-free at dictionary scale. Each step
+    references the running dictionary 3× (kept rows, target slice, remove
+    slice), so WITHOUT a per-step materialization the lazy plan re-derives
+    the base frame 3^N times; localCheckpoint after every step bounds it
+    to one pass over the (dim-sized) dictionary per subtraction.
     """
-    cur = cat_terms.select("cat", "term").distinct()
+    from thesaurus_based_ner_spark.operators.graph import _checkpoint
+
+    cur = _checkpoint(cat_terms.select("cat", "term").distinct())
     for target, remove in subtract:
         removed = (
             cur.filter(F.col("cat") == target)
@@ -148,7 +154,9 @@ def dictionary_set_algebra(
                 "left_anti",
             )
         )
-        cur = cur.filter(F.col("cat") != target).unionByName(removed)
+        cur = _checkpoint(
+            cur.filter(F.col("cat") != target).unionByName(removed)
+        )
     return (
         cur.groupBy("term")
         .agg(
