@@ -29,9 +29,10 @@ from thesaurus_based_ner_spark.plans import queries_r4 as _q4  # noqa: E402,F401
 # (observed: CORRECTNESS_r02 covered exactly queries[0:50] in registration
 # order).  Round-4 rotation: every query WITHOUT a CORRECTNESS_r03 row
 # comes first — this set includes all queries whose implementation changed
-# in r3 (mentions.py distributed dim, canonicalize.py star edges) and both
-# round-4 additions — so all 43 fit in one window; r3-green queries fill
-# the remaining 7 slots in their original order.  Driver rows for queries
+# in r3 (mentions.py distributed dim, canonicalize.py star edges), the
+# round-4 additions, and greedy_bio (r4 pandas fast path) — all 47 fit in
+# one window; r3-green queries fill the remaining 3 slots in their
+# original order.  Driver rows for queries
 # outside this window are from earlier rounds (r1-r3, see VERDICT/BENCH
 # notes); rotation alternates round-over-round so every query is
 # periodically re-verified by the external driver.
@@ -42,6 +43,8 @@ _PRIORITY = [
     "tui_prefix_terms",
     "wikidata_class_terms",
     "twitter_term2cat",
+    # round-4 implementation change (pandas fast path) — re-verify
+    "greedy_bio",
     # r3 code changes without an r3 driver row (mentions/canonicalize)
     "mention_spans",
     "mention_spans_trie",

@@ -454,31 +454,93 @@ def main_scaling() -> None:
             "SPARK_GRAFT_SCALING_TIMEOUT", str(max(3600, docs // 1200))
         )
     )
+    # Crash/hang-proofing (r4 incident: a Python worker died silently and
+    # the executor's Arrow read blocked forever; the uncaught subprocess
+    # timeout would then have discarded ~2h of completed reps held only in
+    # this process's memory). Every successful rep is appended to a ledger
+    # immediately, and a restarted --scaling run with the same docs/levels
+    # reloads finished (round, level) reps instead of re-running them.
+    os.makedirs("BENCH", exist_ok=True)
+    progress_path = os.environ.get(
+        "SPARK_GRAFT_SCALING_PROGRESS", "BENCH/scaling_progress.jsonl"
+    )
+    done: set[tuple[int, int]] = set()
+    if os.path.exists(progress_path):
+        with open(progress_path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except ValueError:
+                    continue
+                if rec.get("docs") != docs or rec["cpus"] not in levels:
+                    continue
+                results.setdefault(rec["cpus"], {"reps": []})["reps"].extend(
+                    rec["reps"]
+                )
+                done.add((rec["round"], rec["cpus"]))
+    if done:
+        print(
+            f"scaling: resuming — {len(done)} (round, level) reps loaded "
+            f"from {progress_path}", file=sys.stderr,
+        )
     for _round in range(SCALING_REPS):
         for cpus in levels:
-            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-            proc = subprocess.run(
-                [
-                    sys.executable, __file__, "--pipeline-only",
-                    "--docs", str(docs), "--reps", "1",
-                ],
-                capture_output=True, text=True, env=env, timeout=sub_timeout,
-            )
-            # one dead level-rep must not discard the whole multi-hour
-            # run: surface the child's stderr, skip the rep, keep going
-            lines = (proc.stdout or "").strip().splitlines()
-            if proc.returncode != 0 or not lines:
-                print(
-                    f"scaling: local[{cpus}] round {_round} failed "
-                    f"(rc={proc.returncode}); stderr tail:\n"
-                    + "\n".join((proc.stderr or "").splitlines()[-15:]),
-                    file=sys.stderr,
-                )
+            if (_round, cpus) in done:
                 continue
-            one = json.loads(lines[-1])
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+            one = None
+            for attempt in range(2):  # one in-place retry: worker-death
+                # hangs/crashes are rare races, not deterministic failures
+                try:
+                    proc = subprocess.run(
+                        [
+                            sys.executable, __file__, "--pipeline-only",
+                            "--docs", str(docs), "--reps", "1",
+                        ],
+                        capture_output=True, text=True, env=env,
+                        timeout=sub_timeout,
+                    )
+                except subprocess.TimeoutExpired as te:
+                    with open(
+                        f"BENCH/scaling_fail_r{_round}_c{cpus}_a{attempt}.log",
+                        "w",
+                    ) as lf:
+                        lf.write(f"timeout after {sub_timeout}s\n")
+                        lf.write(str(te.stderr or "")[-8000:])
+                    print(
+                        f"scaling: local[{cpus}] round {_round} attempt "
+                        f"{attempt} timed out ({sub_timeout}s)",
+                        file=sys.stderr,
+                    )
+                    continue
+                lines = (proc.stdout or "").strip().splitlines()
+                if proc.returncode != 0 or not lines:
+                    with open(
+                        f"BENCH/scaling_fail_r{_round}_c{cpus}_a{attempt}.log",
+                        "w",
+                    ) as lf:
+                        lf.write(f"rc={proc.returncode}\n")
+                        lf.write((proc.stderr or "")[-8000:])
+                    print(
+                        f"scaling: local[{cpus}] round {_round} attempt "
+                        f"{attempt} failed (rc={proc.returncode}); stderr "
+                        "tail:\n"
+                        + "\n".join((proc.stderr or "").splitlines()[-15:]),
+                        file=sys.stderr,
+                    )
+                    continue
+                one = json.loads(lines[-1])
+                break
+            if one is None:
+                continue
             if cpus not in results:
                 results[cpus] = {"reps": []}
             results[cpus]["reps"].extend(one["reps"])
+            with open(progress_path, "a") as f:
+                f.write(json.dumps({
+                    "docs": docs, "cpus": cpus, "round": _round,
+                    "reps": one["reps"],
+                }) + "\n")
     missing = [c for c in levels if c not in results]
     if missing:
         raise SystemExit(

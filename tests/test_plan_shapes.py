@@ -190,3 +190,33 @@ def test_twitter_dictionary_plan_depth_is_bounded(spark, sf_dir):
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or ops.get(
         "Scan", 0
     ) <= 1
+
+
+def test_greedy_pandas_single_group_shuffle(spark):
+    # the Arrow fast path must keep the HOF twin's shuffle count: exactly
+    # one exchange (hash on the id cols) feeding FlatMapGroupsInPandas —
+    # a second exchange would mean the group key isn't reused
+    from thesaurus_based_ner_spark.operators.pseudo import greedy_bio_spans
+
+    spans = spark.createDataFrame(
+        [("d1", 0, 3, "G", 1.0), ("d1", 2, 5, "H", 2.0), ("d2", 1, 2, "G", 0.5)],
+        "doc_id string, m_start long, m_end long, label string, prob double",
+    )
+    df = greedy_bio_spans(spans, ["doc_id"], strategy="pandas")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    ops = op_counts(plan)
+    assert "FlatMapGroupsInPandas" in plan
+    assert ops.get("Exchange", 0) == 1, ops
+    # and the strategy switch is honored: hof builds a pure-JVM plan
+    hof_plan = greedy_bio_spans(
+        spans, ["doc_id"], strategy="hof"
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "FlatMapGroupsInPandas" not in hof_plan

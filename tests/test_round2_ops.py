@@ -209,3 +209,29 @@ def test_minhash_rejects_degenerate_band_config(spark):
         minhash_lsh_pairs(df, "id", "text", n_hashes=8, bands=16)
     with pytest.raises(ValueError):
         minhash_lsh_pairs(df, "id", "text", n_hashes=32, bands=5)
+
+
+def test_greedy_bio_strategies_agree(spark):
+    # the Arrow fast path must be value-identical to the pure-JVM HOF
+    # formulation, including prob ties broken by (m_start, m_end, label)
+    from thesaurus_based_ner_spark.operators.pseudo import greedy_bio_spans
+
+    rows = []
+    for d in range(6):
+        for i in range(25):
+            s = (i * 7) % 19
+            e = s + 1 + (i % 4)
+            prob = float((i * 13 + d * 5) % 8)  # many ties
+            label = ["G", "H", "nc-X"][i % 3]
+            rows.append((f"d{d}", s, e, label, prob))
+        # one NULL prob per doc — both strategies must pin it to highest
+        # priority (explicit coalesce to -inf negated key)
+        rows.append((f"d{d}", 100, 105, "G", None))
+    spans = spark.createDataFrame(
+        rows, "doc_id string, m_start long, m_end long, label string, prob double"
+    )
+    a = greedy_bio_spans(spans, ["doc_id"], strategy="pandas")
+    b = greedy_bio_spans(spans, ["doc_id"], strategy="hof")
+    ka = sorted(map(tuple, a.collect()))
+    kb = sorted(map(tuple, b.collect()))
+    assert ka == kb and len(ka) > 0

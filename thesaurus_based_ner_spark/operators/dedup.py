@@ -69,6 +69,12 @@ def ngram_jaccard_pairs(
     skew-split handles the tail.
     """
     sh = shingles_df(df, id_col, text_col, k)
+    # referenced 3× (both join sides + the size aggregate): shingle the
+    # corpus once
+    try:
+        sh = sh.localCheckpoint(eager=True)
+    except Exception:
+        pass
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -160,6 +166,14 @@ def minhash_lsh_pairs(
         )
     rows = n_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    # signatures are docs × n_hashes ints — materialize once; the bucket
+    # frame below is SELF-joined, so without this the whole shingle +
+    # minhash subtree (the expensive corpus pass) executes twice (same
+    # pattern as simhash_pairs' checkpoint of h)
+    try:
+        sig = sig.localCheckpoint(eager=True)
+    except Exception:
+        pass  # fall back to recompute-per-reference
     band_cols = F.explode(
         F.array(
             *[
@@ -198,6 +212,12 @@ def minhash_lsh_pairs(
         df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
         .select("id", _shingle_col(k).alias("shset"))
     )
+    # referenced once per pair side — checkpoint so the corpus is
+    # re-shingled zero more times (one materialization, two reads)
+    try:
+        sets = sets.localCheckpoint(eager=True)
+    except Exception:
+        pass
     sa = sets.select(F.col("id").alias("a_id"), F.col("shset").alias("sa"))
     sb = sets.select(F.col("id").alias("b_id"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
@@ -353,6 +373,12 @@ def embedding_neardup_pairs(
             "id", "e", F.lit(t).alias("table"), bucket_col("e", planes).alias("bucket")
         )
         buckets = b if buckets is None else buckets.unionByName(b)
+    # self-joined below: materialize so the hyperplane projections (384
+    # multiply-adds per row per table) run once, not once per side
+    try:
+        buckets = buckets.localCheckpoint(eager=True)
+    except Exception:
+        pass
     a = buckets.alias("a")
     b = buckets.alias("b")
     from thesaurus_based_ner_spark.operators.simsearch import _cos

@@ -139,18 +139,34 @@ def msmlc_dataset(
 
 
 def greedy_bio_spans(
-    spans: DataFrame, id_cols: list[str], prob_col: str = "prob"
+    spans: DataFrame,
+    id_cols: list[str],
+    prob_col: str = "prob",
+    strategy: str = "pandas",
 ) -> DataFrame:
     """W3: greedy probability-ordered span selection (reference
     load_ner_tags, utils/typer_to_bio.py:17-32): visit spans by prob desc,
     accept a span iff no already-accepted span overlaps it; nc-* spans are
     never accepted.
 
-    The accept decision is chain-sequential per sentence, so it runs as a
-    higher-order aggregate over the per-sentence span list (sentences hold
-    a handful of spans; the collect_list shuffle is keyed on the sentence
-    id). Ties on prob break by (m_start, m_end, label) for determinism.
+    The accept decision is chain-sequential per sentence/doc, so both
+    strategies group on the id and run the chain inside the group; ties on
+    prob break by (m_start, m_end, label) for determinism. Same one
+    id-keyed shuffle either way:
+
+    - ``pandas`` (default): applyInPandas with a per-group Python loop
+      over the prob-sorted spans. The accept chain is O(k·|accepted|)
+      per group in either engine; the Arrow-batched loop beats the
+      Catalyst HOF by ~7× at sf0.1 because aggregate()/exists() lambdas
+      are interpreted expression trees, never codegen'd (SCALE.md
+      "higher-order-function expressions are NOT whole-stage-codegen'd").
+    - ``hof``: the pure-JVM-plan formulation (array_sort(collect_list) +
+      aggregate/exists) — no Python workers in the job at all; kept as
+      the cross-checked twin (tests assert equality) and for clusters
+      that forbid Python workers.
     """
+    if strategy == "pandas":
+        return _greedy_spans_pandas(spans, id_cols, prob_col)
     pos = spans.filter(~F.col("label").startswith("nc-"))
     # ascending sort on (-p, s, e, l) = p DESC, then m_start/m_end/label
     # ASC — reverse(array_sort(...)) would flip the LABEL tie-break to
@@ -159,7 +175,13 @@ def greedy_bio_spans(
         F.array_sort(
             F.collect_list(
                 F.struct(
-                    (-F.col(prob_col)).alias("np"),
+                    # NULL prob pinned to highest priority by construction
+                    # (not by struct-null ordering) so the pandas twin can
+                    # reproduce it exactly
+                    F.coalesce(
+                        -F.col(prob_col).cast("double"),
+                        F.lit(float("-inf")),
+                    ).alias("np"),
                     F.col("m_start").alias("s"),
                     F.col("m_end").alias("e"),
                     F.col("label").alias("l"),
@@ -197,6 +219,52 @@ def greedy_bio_spans(
             F.col("__a.l").alias("label"),
         )
     )
+
+
+def _greedy_spans_pandas(
+    spans: DataFrame, id_cols: list[str], prob_col: str
+) -> DataFrame:
+    """Arrow-batched twin of the HOF formulation: one groupBy(id) shuffle,
+    then the greedy accept chain as a plain loop per group. Output schema
+    and values are identical to strategy='hof' (pinned by
+    tests/test_round2_ops.py::test_greedy_bio_strategies_agree)."""
+    import pandas as pd
+
+    pos = spans.filter(~F.col("label").startswith("nc-")).select(
+        *id_cols,
+        F.col("m_start").cast("bigint").alias("m_start"),
+        F.col("m_end").cast("bigint").alias("m_end"),
+        F.col("label"),
+        F.col(prob_col).cast("double").alias("__p"),
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in pos.schema.fields
+        if f.name != "__p"
+    )
+
+    def accept(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf.iloc[0][id_cols]
+        # NULL prob → -inf negated key = highest priority, matching the
+        # HOF path's explicit coalesce
+        cand = sorted(
+            zip(
+                (-pdf["__p"]).fillna(float("-inf")),
+                pdf["m_start"],
+                pdf["m_end"],
+                pdf["label"],
+            )
+        )
+        acc: list[tuple[int, int, str]] = []
+        for _np, s, e, l in cand:
+            if not any(s < ae and as_ < e for as_, ae, _ in acc):
+                acc.append((s, e, l))
+        out = pd.DataFrame(acc, columns=["m_start", "m_end", "label"])
+        for c in id_cols:
+            out[c] = ids[c]
+        return out[[*id_cols, "m_start", "m_end", "label"]]
+
+    return pos.groupBy(*id_cols).applyInPandas(accept, schema=out_schema)
 
 
 def drop_unknown_type(spans: DataFrame, label_col: str = "label") -> DataFrame:
