@@ -159,3 +159,58 @@ def test_surface_star_edges_null_surfaces_do_not_merge(spark):
     assert ("E1", "E1") in canon and ("E2", "E2") in canon
     assert ("E3", "E3") in canon
     assert ("E5", "E4") in canon
+
+
+def test_surface_star_edges_salted_matches_unsalted(spark):
+    """n_salt>1 bounds the per-task window partition to S/n_salt rows for
+    a hot surface (north-rule head-key skew handling) — and must produce
+    the exact same canonical components as the unsalted star, since CC is
+    invariant to edge shape within a connected surface group."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        canonicalize_entities,
+        surface_star_edges,
+    )
+
+    rows = [(f"E{i:03d}", "USA") for i in range(40)]
+    rows += [(f"F{i:03d}", f"surf{i % 7}") for i in range(30)]
+    rows += [("E000", "United States"), ("G950", "united states")]
+    rows += [("H1", None), ("H2", "  ")]
+    anchor = spark.createDataFrame(rows, "entity string, surface string")
+    base = {
+        (r["entity"], r["canonical"])
+        for r in canonicalize_entities(anchor).collect()
+    }
+    for n_salt in (2, 4, 16):  # 16 > bucket count exercises empty buckets
+        salted = {
+            (r["entity"], r["canonical"])
+            for r in canonicalize_entities(anchor, n_salt=n_salt).collect()
+        }
+        assert salted == base, n_salt
+    # edge count stays linear: ≤ S-1 within-bucket + ≤ n_salt-1 hub edges
+    # per surface (never S²)
+    n = surface_star_edges(anchor, n_salt=4).count()
+    assert n <= (40 + 3) + (30 + 7 * 3) + (2 + 3)
+
+
+def test_surface_star_edges_salted_plan_shape(spark):
+    """The salted star must stay join-free: two window passes (bucket star
+    + hub star), no Join/CartesianProduct nodes."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        surface_star_edges,
+    )
+
+    anchor = spark.createDataFrame(
+        [("E1", "a"), ("E2", "a"), ("E3", "b")],
+        "entity string, surface string",
+    )
+    plan = (
+        surface_star_edges(anchor, n_salt=8)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2

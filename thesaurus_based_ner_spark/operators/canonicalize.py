@@ -23,7 +23,7 @@ from thesaurus_based_ner_spark.operators.graph import (
 )
 
 
-def surface_star_edges(anchor: DataFrame) -> DataFrame:
+def surface_star_edges(anchor: DataFrame, n_salt: int = 1) -> DataFrame:
     """Shared-normalized-surface edges as a STAR to the per-surface hub.
 
     A pairwise self-join on nsurf emits S²/2 edges for a surface shared by
@@ -31,6 +31,17 @@ def surface_star_edges(anchor: DataFrame) -> DataFrame:
     generate 5·10⁷ edges from one key at web scale. Connected components
     are invariant to star-vs-clique edges, so emit (hub=min entity, other)
     instead: O(S) edges, one window shuffle on nsurf, no join.
+
+    ``n_salt > 1`` additionally bounds the per-TASK skew: the plain star
+    still routes all S rows of one surface through a single window
+    partition, so a 10⁷-entity head key pins one task at web scale. With
+    salting, entities are hashed into ``n_salt`` buckets; pass 1 stars each
+    (nsurf, bucket) group to its bucket hub (partition size ≤ ~S/n_salt),
+    pass 2 stars the ≤ n_salt bucket hubs per surface to a global hub.
+    Components are identical to the unsalted star (the bucket stars plus
+    the hub star connect exactly the same surface group); edge count stays
+    linear: ≤ S-1 within-bucket + ≤ n_salt-1 hub edges per surface.
+    Both passes are windows — no join, no cartesian product.
     """
     # NULL/empty surfaces must NOT edge: Window.partitionBy treats NULL as
     # an ordinary key, so without this filter every entity with an
@@ -44,20 +55,40 @@ def surface_star_edges(anchor: DataFrame) -> DataFrame:
         .select(F.col("entity"), F.lower(F.col("surface")).alias("nsurf"))
         .distinct()
     )
-    hub = F.min("entity").over(Window.partitionBy("nsurf"))
-    return (
-        surf.withColumn("__hub", hub)
-        .filter(F.col("entity") != F.col("__hub"))
-        .select(F.col("__hub").alias("a"), F.col("entity").alias("b"))
+    if n_salt <= 1:
+        hub = F.min("entity").over(Window.partitionBy("nsurf"))
+        return (
+            surf.withColumn("__hub", hub)
+            .filter(F.col("entity") != F.col("__hub"))
+            .select(F.col("__hub").alias("a"), F.col("entity").alias("b"))
+        )
+    salted = surf.withColumn(
+        "__b", F.pmod(F.xxhash64("entity"), F.lit(n_salt))
     )
+    bucket_hub = F.min("entity").over(Window.partitionBy("nsurf", "__b"))
+    starred = salted.withColumn("__hub", bucket_hub)
+    within = starred.filter(F.col("entity") != F.col("__hub")).select(
+        F.col("__hub").alias("a"), F.col("entity").alias("b")
+    )
+    # ≤ n_salt bucket hubs per surface — the second window's partitions
+    # are bounded by n_salt regardless of how hot the surface is.
+    hubs = starred.select("nsurf", F.col("__hub").alias("entity")).distinct()
+    global_hub = F.min("entity").over(Window.partitionBy("nsurf"))
+    across = (
+        hubs.withColumn("__ghub", global_hub)
+        .filter(F.col("entity") != F.col("__ghub"))
+        .select(F.col("__ghub").alias("a"), F.col("entity").alias("b"))
+    )
+    return within.unionByName(across)
 
 
 def canonicalize_entities(
     anchor: DataFrame,
     redirects: DataFrame | None = None,
+    n_salt: int = 1,
 ) -> DataFrame:
     """(entity, canonical) map via CC over surface+redirect edges."""
-    edges = surface_star_edges(anchor)
+    edges = surface_star_edges(anchor, n_salt=n_salt)
     if redirects is not None:
         red = resolve_chains(redirects, "src", "dst").select(
             F.col("src").alias("a"), F.col("root").alias("b")

@@ -492,9 +492,10 @@ def _register_conll_category_mapped():
     def conll_category_mapped(spark, sf_dir):
         spans = _gold_spans(spark, sf_dir).withColumn(
             "label",
-            F.array(*[F.lit(c) for c in classes])[
-                ((F.col("m_start") + F.col("m_end")) % n).cast("int")
-            ],
+            F.element_at(
+                F.array(*[F.lit(c) for c in classes]),
+                ((F.col("m_start") + F.col("m_end")) % n + 1).cast("int"),
+            ),
         )
         return map_conll_categories(spans, spark).select(
             "doc_id", "m_start", "m_end", "label"
