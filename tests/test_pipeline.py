@@ -254,3 +254,22 @@ def test_pipeline_with_dataframe_thesaurus(spark, triples, tmp_path):
     )
     want = {tuple(r) for r in triples.collect()}
     assert {tuple(r) for r in got.collect()} == want
+
+
+def test_pipeline_salted_canonicalize_parity(spark, triples, tmp_path):
+    """North rule: head-entity skew handled with salted repartitioning —
+    the shipped pipeline exposes canonical_salt; triples must be identical
+    to the unsalted run (CC is invariant to the salted star shape)."""
+    cat = Catalog(spark, str(tmp_path / "cat_salt"))
+    got = run_pipeline(
+        spark,
+        cat,
+        synth_webtext(spark, N_DOCS),
+        TERM2LABEL,
+        synth_anchor_text(spark, 800),
+        synth_redirects(spark),
+        corpus_fingerprint=f"synth:{N_DOCS}",
+        canonical_salt=8,
+    )
+    want = {tuple(r) for r in triples.collect()}
+    assert {tuple(r) for r in got.collect()} == want
