@@ -460,9 +460,13 @@ def main_scaling() -> None:
     # this process's memory). Every successful rep is appended to a ledger
     # immediately, and a restarted --scaling run with the same docs/levels
     # reloads finished (round, level) reps instead of re-running them.
-    os.makedirs("BENCH", exist_ok=True)
+    # Ledger + failure logs anchor to the repo dir, not CWD (ADVICE r4:
+    # a --scaling run launched elsewhere silently lost resume state).
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
     progress_path = os.environ.get(
-        "SPARK_GRAFT_SCALING_PROGRESS", "BENCH/scaling_progress.jsonl"
+        "SPARK_GRAFT_SCALING_PROGRESS",
+        os.path.join(bench_dir, "scaling_progress.jsonl"),
     )
     done: set[tuple[int, int]] = set()
     if os.path.exists(progress_path):
@@ -473,6 +477,11 @@ def main_scaling() -> None:
                 except ValueError:
                     continue
                 if rec.get("docs") != docs or rec["cpus"] not in levels:
+                    continue
+                # rounds ≥ the current SCALING_REPS belong to a different
+                # protocol configuration — don't let them pad the rep
+                # pool (ADVICE r4)
+                if rec["round"] >= SCALING_REPS:
                     continue
                 results.setdefault(rec["cpus"], {"reps": []})["reps"].extend(
                     rec["reps"]
@@ -502,7 +511,7 @@ def main_scaling() -> None:
                     )
                 except subprocess.TimeoutExpired as te:
                     with open(
-                        f"BENCH/scaling_fail_r{_round}_c{cpus}_a{attempt}.log",
+                        os.path.join(bench_dir, f"scaling_fail_r{_round}_c{cpus}_a{attempt}.log"),
                         "w",
                     ) as lf:
                         lf.write(f"timeout after {sub_timeout}s\n")
@@ -516,7 +525,7 @@ def main_scaling() -> None:
                 lines = (proc.stdout or "").strip().splitlines()
                 if proc.returncode != 0 or not lines:
                     with open(
-                        f"BENCH/scaling_fail_r{_round}_c{cpus}_a{attempt}.log",
+                        os.path.join(bench_dir, f"scaling_fail_r{_round}_c{cpus}_a{attempt}.log"),
                         "w",
                     ) as lf:
                         lf.write(f"rc={proc.returncode}\n")
@@ -567,8 +576,7 @@ def main_scaling() -> None:
         f"| local[{n}] → local[{n4}] | {eff(n, n4)} |" for n, n4 in SCALING_PAIRS
     )
     bw_rows = " · ".join(f"{n} procs: {v} GB/s" for n, v in bw.items())
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
         f.write(
             f"""# BENCH — scaling evidence (N vs 4N parallelism)
 

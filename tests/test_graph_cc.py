@@ -214,3 +214,23 @@ def test_surface_star_edges_salted_plan_shape(spark):
     )
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert plan.count("Window") >= 2
+
+
+def test_descendants_bfs_fails_loud_past_max_depth(spark):
+    """ADVICE r4: a hierarchy deeper than max_depth must raise, not return
+    a silently truncated closure (reference get_descendants_cuis iterates
+    until the frontier empties)."""
+    import pytest
+
+    from thesaurus_based_ner_spark.operators.graph import descendants_bfs
+
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i + 1}") for i in range(6)], "parent string, child string"
+    )
+    roots = spark.createDataFrame([("n0",)], "node string")
+    # deep enough: converges
+    ok = descendants_bfs(chain, roots, "parent", "child", max_depth=10)
+    assert ok.count() == 7
+    # too shallow: refuses rather than truncating
+    with pytest.raises(RuntimeError, match="max_depth"):
+        descendants_bfs(chain, roots, "parent", "child", max_depth=3)

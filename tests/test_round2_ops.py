@@ -227,6 +227,11 @@ def test_greedy_bio_strategies_agree(spark):
         # one NULL prob per doc — both strategies must pin it to highest
         # priority (explicit coalesce to -inf negated key)
         rows.append((f"d{d}", 100, 105, "G", None))
+        # one NaN prob per doc (ADVICE r4): without upstream NaN→NULL
+        # normalization the pandas path treats NaN like NULL (highest
+        # priority) while the HOF path's coalesce lets NaN sort as the
+        # largest double (lowest priority) — the strategies diverge
+        rows.append((f"d{d}", 103, 110, "H", float("nan")))
     spans = spark.createDataFrame(
         rows, "doc_id string, m_start long, m_end long, label string, prob double"
     )

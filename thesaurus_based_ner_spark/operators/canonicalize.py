@@ -46,8 +46,11 @@ def surface_star_edges(anchor: DataFrame, n_salt: int = 1) -> DataFrame:
     # NULL/empty surfaces must NOT edge: Window.partitionBy treats NULL as
     # an ordinary key, so without this filter every entity with an
     # unparsed surface would star-edge to one hub and collapse into a
-    # single canonical cluster. The pre-star pairwise join was
-    # null-rejecting; preserve that semantics.
+    # single canonical cluster. The pre-star pairwise join was only
+    # NULL-rejecting — empty/whitespace surfaces DID match each other
+    # ('' == '') and clustered there; dropping them here is an intentional
+    # divergence (an all-empty-surface mega-cluster is never a desirable
+    # canonical entity), not an equivalence (ADVICE r4).
     surf = (
         anchor.filter(
             F.col("surface").isNotNull() & (F.trim(F.col("surface")) != "")

@@ -163,6 +163,7 @@ def descendants_bfs(
             out = out.unionByName(_fork(d))
         return out
 
+    converged = False
     for _ in range(max_depth):
         nxt = (
             _fork(frontier).alias("f")
@@ -174,9 +175,19 @@ def descendants_bfs(
         nxt = _checkpoint(nxt)
         # 1-row count aggregate for convergence — no isEmpty in loops
         if nxt.agg(F.count("*").alias("n")).collect()[0]["n"] == 0:
+            converged = True
             break
         seen.append(nxt)
         frontier = nxt
+    if not converged:
+        # ADVICE r4: the reference (get_descendants_cuis, genia.py:46-71)
+        # iterates until the frontier empties — returning a silently
+        # truncated closure on a deeper-than-max_depth hierarchy would
+        # quietly lose descendants. Fail loud like an unconverged fixpoint.
+        raise RuntimeError(
+            f"descendants_bfs: frontier still non-empty after max_depth="
+            f"{max_depth} rounds; raise max_depth for this hierarchy"
+        )
     return _seen()
 
 

@@ -165,6 +165,16 @@ def greedy_bio_spans(
       the cross-checked twin (tests assert equality) and for clusters
       that forbid Python workers.
     """
+    # Normalize NaN probs to NULL BEFORE the strategy split (ADVICE r4):
+    # Arrow maps both NULL and NaN to pandas NaN, so the pandas path's
+    # fillna(-inf) would promote NaN to highest priority, while the HOF
+    # path's coalesce only catches NULL — there a NaN survives and sorts
+    # as the LARGEST double (lowest priority after negation). Folding NaN
+    # into the documented NULL behavior keeps the twins exactly equal.
+    _p = F.col(prob_col).cast("double")
+    spans = spans.withColumn(
+        prob_col, F.when(F.isnan(_p), F.lit(None)).otherwise(_p)
+    )
     if strategy == "pandas":
         return _greedy_spans_pandas(spans, id_cols, prob_col)
     pos = spans.filter(~F.col("label").startswith("nc-"))

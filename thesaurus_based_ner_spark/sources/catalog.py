@@ -164,9 +164,12 @@ class Catalog:
         """Latest committed snapshot id from the `.snapshots` metadata
         table (None when the catalog cannot serve metadata tables)."""
         try:
+            # snapshot_id DESC tie-break: two commits in the same
+            # millisecond (e.g. MERGE right after append) tie on
+            # committed_at and could record the older snapshot (ADVICE r4)
             rows = self.spark.sql(
                 f"SELECT snapshot_id FROM {self._table(name)}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+                "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
             ).collect()
             return rows[0]["snapshot_id"] if rows else None
         except Exception:
