@@ -437,7 +437,10 @@ def main_scaling() -> None:
     if os.environ.get("SPARK_GRAFT_SKIP_COMPUTE_PROBE"):
         comp = {"raw_tasks_per_sec": {}, "engine_tasks_per_sec": {}}
     else:
-        comp = compute_scaling_probe((8, 32))
+        # probe at the REPORTED pair (first configured pair), so the
+        # compute-bound control is read against the same (N, 4N) levels
+        # as the pipeline efficiency number
+        comp = compute_scaling_probe(SCALING_PAIRS[0])
     # Host-noise-robust interleaving: rather than all reps of one level
     # then all reps of the next (minutes apart — a background noise burst
     # lands on ONE level and skews the ratio), each ROUND runs every
@@ -621,7 +624,11 @@ but also gain aggregate bandwidth per executor added.
 The same pure-CPU spin task ({SPIN_ITERS} multiply-add iterations, zero
 data volume) executed two ways at each level: as raw OS processes
 (hardware bound) and as one-task-per-partition mapInPandas through the
-full Spark scheduler + Arrow + python-worker stack.
+full Spark scheduler + Arrow + python-worker stack. Raw processes
+themselves scale sub-linearly on this VM (all-core turbo < few-core
+turbo), so the raw row is the hardware bound for ANY engine; the engine
+row tracking it shows the scheduler/worker stack adds no scaling
+overhead when the memory wall is out of the picture.
 
 | level | raw procs tasks/s | engine tasks/s | engine/raw |
 |---|---|---|---|
@@ -629,13 +636,7 @@ full Spark scheduler + Arrow + python-worker stack.
 
 | pair | raw eff (/4) | engine eff (/4) | engine-vs-raw eff |
 |---|---|---|---|
-{_comp_pair_row(comp, 8, 32)}
-
-Raw processes themselves scale sub-linearly 8→32 on this VM (all-core
-turbo < 8-core turbo), so the hardware bound for ANY engine is the raw
-row. The engine row tracking it closely shows the scheduler/worker stack
-adds little overhead when the memory wall is out of the picture — the
-pipeline's (8→32) drop is the host's memory system, not the plan shape.
+{_comp_pair_row(comp, *SCALING_PAIRS[0])}
 """
         )
     print(json.dumps({
