@@ -269,17 +269,44 @@ def hw_bandwidth_probe(nprocs=(1, 2, 4, 8, 32), seconds: float = 5.0) -> dict:
             n += 1
         q.put(n * a.nbytes * 2)
 
+    import queue as _queue
+
     out = {}
     for nproc in nprocs:
-        q = mp.Queue()
-        ps = [mp.Process(target=stream, args=(q, seconds)) for _ in range(nproc)]
-        t0 = time.time()
-        for p in ps:
-            p.start()
-        tot = sum(q.get() for _ in ps)
-        for p in ps:
-            p.join()
-        out[nproc] = round(tot / (time.time() - t0) / 1e9, 1)
+        # a probe child can die silently in this sandbox (observed: zombie
+        # child, no traceback, no OOM record) — a bare q.get() then blocks
+        # the whole scaling run forever. Bounded gets + one retry per
+        # level; a still-partial level uses what arrived (understates
+        # bandwidth, never hangs).
+        for _attempt in range(2):
+            q = mp.Queue()
+            ps = [
+                mp.Process(target=stream, args=(q, seconds))
+                for _ in range(nproc)
+            ]
+            t0 = time.time()
+            for p in ps:
+                p.start()
+            got: list[int] = []
+            try:
+                for _ in ps:
+                    got.append(q.get(timeout=seconds * 4 + 30))
+            except _queue.Empty:
+                pass
+            wall = time.time() - t0
+            for p in ps:
+                p.terminate()
+                p.join()
+            if len(got) == len(ps):
+                out[nproc] = round(sum(got) / wall / 1e9, 1)
+                break
+            print(
+                f"bandwidth probe: {len(ps) - len(got)} of {len(ps)} "
+                f"children died silently at nproc={nproc} "
+                f"(attempt {_attempt})", file=sys.stderr,
+            )
+        else:
+            out[nproc] = round(sum(got) / wall / 1e9, 1) if got else 0.0
     return out
 
 
@@ -303,6 +330,8 @@ def raw_spin_control(nprocs: tuple[int, ...] = (8, 32)) -> dict:
         _spin(0, iters)
         q.put(1)
 
+    import queue as _queue
+
     out = {}
     for nproc in nprocs:
         n_tasks = nproc * 4
@@ -312,14 +341,28 @@ def raw_spin_control(nprocs: tuple[int, ...] = (8, 32)) -> dict:
         done = 0
         spawned = 0
         while done < n_tasks:
+            running = [p for p in running if p.is_alive()]
             while spawned < n_tasks and len(running) < nproc:
                 p = mp.Process(target=worker, args=(q, SPIN_ITERS))
                 p.start()
                 running.append(p)
                 spawned += 1
-            q.get()
+            try:
+                q.get(timeout=120)
+            except _queue.Empty:
+                # silently-dead children (sandbox race, see
+                # hw_bandwidth_probe) are respawned: mark their task slots
+                # unspawned and loop — never block the run forever
+                running = [p for p in running if p.is_alive()]
+                lost = spawned - done - len(running)
+                if lost > 0:
+                    print(
+                        f"spin control: respawning {lost} silently-dead "
+                        f"workers at nproc={nproc}", file=sys.stderr,
+                    )
+                    spawned -= lost
+                continue
             done += 1
-            running = [p for p in running if p.is_alive()]
         wall = time.time() - t0
         out[nproc] = round(n_tasks / wall, 3)
     return out
