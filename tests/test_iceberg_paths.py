@@ -40,16 +40,21 @@ def icat(spark, tmp_path, monkeypatch):
     calls: list = []
     sqls: list[str] = []
 
-    class _SnapshotResult:
+    class _Result:
+        def __init__(self, snapshot_id):
+            self._id = snapshot_id
+
         def collect(self):
-            return [{"snapshot_id": 4242}]
+            return [{"snapshot_id": self._id}]
 
     def fake_sql(query, *a, **kw):
         sqls.append(query)
         if ".files" in query:  # lineage probe: no metadata table → caught
             raise RuntimeError("no iceberg metadata in mock")
-        if ".snapshots" in query:  # snapshot-id lineage probe
-            return _SnapshotResult()
+        if ".refs" in query:  # authoritative head: the main-branch ref
+            return _Result(5151)
+        if ".snapshots" in query:  # committed_at fallback (must NOT win)
+            return _Result(4242)
         return None
 
     monkeypatch.setattr(spark, "sql", fake_sql, raising=False)
@@ -109,9 +114,12 @@ def test_iceberg_write_uses_v2_create_or_replace(spark, icat):
     assert out.columns == ["k", "v"]  # read-back via spark.table
     meta = cat._read_meta("triples")
     assert meta["stage"] == "s" and meta["partitions"] == []
-    # snapshot-id lineage: the committed snapshot is pinned in the sidecar
-    assert meta["snapshot_id"] == 4242
-    assert any(".snapshots" in q and "ORDER BY committed_at" in q for q in sqls)
+    # snapshot-id lineage: the head comes from the main-branch ref (random
+    # snapshot ids are not monotonic, so committed_at ordering is only a
+    # last resort — ADVICE r5), NOT from the .snapshots fallback
+    assert meta["snapshot_id"] == 5151
+    assert any(".refs" in q and "name = 'main'" in q for q in sqls)
+    assert not any(".snapshots" in q for q in sqls)
 
 
 def test_iceberg_upsert_issues_merge_into(spark, icat):
@@ -126,8 +134,8 @@ def test_iceberg_upsert_issues_merge_into(spark, icat):
     assert "t.k = s.k" in m
     assert "WHEN MATCHED THEN UPDATE SET *" in m
     assert "WHEN NOT MATCHED THEN INSERT *" in m
-    # the in-place MERGE refreshes the sidecar with the new snapshot id
-    assert cat._read_meta("dim")["snapshot_id"] == 4242
+    # the in-place MERGE refreshes the sidecar with the ref-head snapshot
+    assert cat._read_meta("dim")["snapshot_id"] == 5151
     assert cat._read_meta("dim")["stage"] == "upsert:dim"
 
 
@@ -140,7 +148,7 @@ def test_iceberg_replace_groups_deletes_then_appends(spark, icat):
     assert len(deletes) == 1 and f"{cat.namespace}.men" in deletes[0]
     assert ("append", f"{cat.namespace}.men") in calls
     # DELETE+append refreshes the sidecar with the post-commit snapshot
-    assert cat._read_meta("men")["snapshot_id"] == 4242
+    assert cat._read_meta("men")["snapshot_id"] == 5151
     assert cat._read_meta("men")["stage"] == "replace:men"
 
 
@@ -174,3 +182,51 @@ def test_swap_write_crash_recovery(spark, tmp_path):
     out2 = {(r.k, r.v) for r in cat.upsert("t", inc, keys=["k"]).collect()}
     assert out2 == out
     assert not os.path.isdir(cat.path("t__upsert_old"))
+
+
+def test_snapshot_head_fallback_chain(spark, tmp_path, monkeypatch):
+    """Head resolution degrades refs -> history -> committed_at ordering:
+    a catalog without refs/history metadata tables still pins a snapshot,
+    and the history path filters to current-ancestor rows."""
+    sqls: list[str] = []
+
+    def make_sql(serve: set):
+        class _Result:
+            def __init__(self, sid):
+                self._sid = sid
+
+            def collect(self):
+                return [{"snapshot_id": self._sid}]
+
+        def fake_sql(query, *a, **kw):
+            sqls.append(query)
+            if ".refs" in query:
+                if "refs" in serve:
+                    return _Result(11)
+                raise RuntimeError("no refs metadata table")
+            if ".history" in query:
+                if "history" in serve:
+                    return _Result(22)
+                raise RuntimeError("no history metadata table")
+            if ".snapshots" in query:
+                return _Result(33)
+            return None
+
+        return fake_sql
+
+    cat = Catalog(spark, str(tmp_path / "fb"))
+    cat.use_iceberg = True
+
+    monkeypatch.setattr(spark, "sql", make_sql({"refs", "history"}), raising=False)
+    assert cat._iceberg_snapshot_id("t") == 11
+
+    monkeypatch.setattr(spark, "sql", make_sql({"history"}), raising=False)
+    assert cat._iceberg_snapshot_id("t") == 22
+    assert any(".history" in q and "is_current_ancestor" in q for q in sqls)
+
+    monkeypatch.setattr(spark, "sql", make_sql(set()), raising=False)
+    assert cat._iceberg_snapshot_id("t") == 33
+    assert any(
+        ".snapshots" in q and "ORDER BY committed_at DESC, snapshot_id DESC" in q
+        for q in sqls
+    )

@@ -14,6 +14,8 @@ Spark-native crawl-ingestion extension.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
 
 # query params that never change page identity (tracking/session noise)
@@ -36,7 +38,9 @@ def _host(url: Column) -> Column:
 # stays inside whole-stage codegen; the previous formulation — an F.filter
 # lambda running split(kv,'=') + isin per element — is an interpreted HOF.
 _TRACKING_RE = (
-    "(?:^|&)(?:" + "|".join(TRACKING_PARAMS) + ")(?:=[^&]*)?(?=&|$)"
+    "(?:^|&)(?:"
+    + "|".join(re.escape(p) for p in TRACKING_PARAMS)
+    + ")(?:=[^&]*)?(?=&|$)"
 )
 
 

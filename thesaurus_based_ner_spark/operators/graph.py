@@ -163,22 +163,34 @@ def descendants_bfs(
             out = out.unionByName(_fork(d))
         return out
 
-    converged = False
-    for _ in range(max_depth):
-        nxt = (
-            _fork(frontier).alias("f")
+    def _expand(cur: DataFrame) -> DataFrame:
+        return _checkpoint(
+            _fork(cur).alias("f")
             .join(_fork(e).alias("e"), F.col("f.node") == F.col("e.parent"))
             .select(F.col("e.child").alias("node"))
             .distinct()
             .join(_seen(), ["node"], "left_anti")
         )
-        nxt = _checkpoint(nxt)
+
+    converged = False
+    for _ in range(max_depth):
+        nxt = _expand(frontier)
         # 1-row count aggregate for convergence — no isEmpty in loops
         if nxt.agg(F.count("*").alias("n")).collect()[0]["n"] == 0:
             converged = True
             break
         seen.append(nxt)
         frontier = nxt
+    if not converged:
+        # A hierarchy of depth exactly max_depth discovers its last layer
+        # on the final iteration and exits with converged=False even
+        # though the closure is complete (ADVICE r5) — one extra
+        # expansion distinguishes "done on the last round" from
+        # "genuinely truncated".
+        converged = (
+            _expand(frontier).agg(F.count("*").alias("n")).collect()[0]["n"]
+            == 0
+        )
     if not converged:
         # ADVICE r4: the reference (get_descendants_cuis, genia.py:46-71)
         # iterates until the frontier empties — returning a silently

@@ -210,6 +210,7 @@ def run_pipeline(
     strategy: str = "df",
     corpus_fingerprint: str = "",
     checkpoint: str = "minimal",
+    canonical_salt: int = 1,
 ) -> DataFrame:
     """Run (or resume) the full pipeline; returns the triples DataFrame.
 
@@ -239,6 +240,11 @@ def run_pipeline(
         corpus_fingerprint, th_fp, strategy,
         _df_digest(anchor), _df_digest(redirects),
     )
+    # canonical_salt only changes the canonicalize stage's physical shape
+    # (CC output is salt-invariant), so fold it into that stage's
+    # fingerprint alone — a salt change must not invalidate the corpus-side
+    # checkpoints.
+    canon_fp = _fp(base_fp, canonical_salt)
 
     # The DAG has two independent branches:
     #   docs:  webtext → extracted → sentences → mentions
@@ -259,8 +265,10 @@ def run_pipeline(
         )
         catalog.materialize(
             "canonical",
-            lambda: canonicalize_entities(anchor, redirects),
-            fingerprint=base_fp,
+            lambda: canonicalize_entities(
+                anchor, redirects, n_salt=canonical_salt
+            ),
+            fingerprint=canon_fp,
             stage="canonicalize",
         )
 

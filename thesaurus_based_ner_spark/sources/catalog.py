@@ -161,14 +161,37 @@ class Catalog:
         return self.read(name)
 
     def _iceberg_snapshot_id(self, name: str):
-        """Latest committed snapshot id from the `.snapshots` metadata
-        table (None when the catalog cannot serve metadata tables)."""
+        """Current HEAD snapshot id for the table's main branch.
+
+        Snapshot ids are random longs, not monotonic, so ordering
+        `.snapshots` by (committed_at, snapshot_id) is only deterministic,
+        not correct, for two commits in the same millisecond (ADVICE r5).
+        The authoritative head is the `main` ref (`.refs`), with the last
+        `.history` row (is_current_ancestor, made_current_at) as the
+        fallback; the committed_at ordering remains the last resort for
+        catalogs that cannot serve refs/history metadata tables."""
+        tbl = self._table(name)
         try:
-            # snapshot_id DESC tie-break: two commits in the same
-            # millisecond (e.g. MERGE right after append) tie on
-            # committed_at and could record the older snapshot (ADVICE r4)
             rows = self.spark.sql(
-                f"SELECT snapshot_id FROM {self._table(name)}.snapshots "
+                f"SELECT snapshot_id FROM {tbl}.refs WHERE name = 'main'"
+            ).collect()
+            if rows:
+                return rows[0]["snapshot_id"]
+        except Exception:
+            pass
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {tbl}.history "
+                "WHERE is_current_ancestor "
+                "ORDER BY made_current_at DESC LIMIT 1"
+            ).collect()
+            if rows:
+                return rows[0]["snapshot_id"]
+        except Exception:
+            pass
+        try:
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {tbl}.snapshots "
                 "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
             ).collect()
             return rows[0]["snapshot_id"] if rows else None

@@ -230,6 +230,22 @@ def main() -> None:
             best[hi]["triples_per_sec"] / best[lo]["triples_per_sec"]
             / (hi / lo), 3,
         )
+        # shared cross-round ledger (bench.py renders it into the
+        # BASELINE.md History section — add, don't replace)
+        with open(
+            os.path.join(REPO, "BENCH", "scaling_history.jsonl"), "a"
+        ) as f:
+            f.write(json.dumps({
+                "window": time.strftime("%Y-%m-%d %H:%M", time.gmtime()),
+                "ts": round(time.time(), 1),
+                "harness": "cluster",
+                "docs": args.docs,
+                "rounds": args.rounds,
+                "efficiency": {f"{lo}->{hi}": out["efficiency"]},
+                "best_walls": {
+                    lv: best[lv]["wall_s"] for lv in best
+                },
+            }) + "\n")
     print(json.dumps(out))
 
 
