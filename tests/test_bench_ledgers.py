@@ -1,0 +1,75 @@
+"""Pure (no-Spark) checks on the bench evidence ledgers.
+
+VERDICT r5: scaling history was overwritten every run and the driver's
+stdout capture truncated the per-query dict. These pin the durable-record
+mechanisms: the history ledger renders every window, and main_default
+persists its full result object to BENCH/last_bench.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def test_history_ledger_renders_every_window():
+    path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    with open(path) as f:
+        n_records = sum(1 for line in f if line.strip())
+    rows = bench._history_rows().splitlines()
+    assert len(rows) == n_records >= 6  # seeded r2/r3/r5 windows present
+    # every row is a well-formed 5-column markdown row
+    assert all(r.startswith("| ") and r.count("|") == 6 for r in rows)
+    # the seeded prior windows survived (add, don't replace)
+    text = "\n".join(rows)
+    assert "r3-C" in text and "0.778" in text
+
+
+def test_history_ledger_lines_are_json_with_efficiency():
+    path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
+    with open(path) as f:
+        for line in f:
+            if not line.strip():
+                continue
+            rec = json.loads(line)
+            assert rec["harness"] in ("local", "cluster")
+            assert isinstance(rec["docs"], int)
+            assert rec["efficiency"], rec  # at least one measured pair
+            for v in rec["efficiency"].values():
+                assert 0.0 < v <= 1.5, rec  # sane efficiency range
+
+
+def test_main_default_writes_last_bench_json(monkeypatch, tmp_path):
+    """main_default must persist its full result to BENCH/last_bench.json
+    (driver stdout capture truncates; the file is the durable record)."""
+    fake_bench_dir = tmp_path / "BENCH"
+
+    monkeypatch.setattr(bench, "_spark", lambda cpus: None)
+    monkeypatch.setattr(
+        bench, "run_headline", lambda spark: ({"q1": 1.0}, {"q1": 2.0})
+    )
+    monkeypatch.setattr(
+        bench,
+        "run_pipeline_bench",
+        lambda spark, docs, warmup=False: {"wall_s": 3.0},
+    )
+    real_join = os.path.join
+
+    def fake_join(*parts):
+        if parts[-1] == "BENCH" and parts[0] == os.path.dirname(
+            os.path.abspath(bench.__file__)
+        ):
+            return str(fake_bench_dir)
+        return real_join(*parts)
+
+    monkeypatch.setattr(bench.os.path, "join", fake_join)
+    bench.main_default()
+    saved = json.loads((fake_bench_dir / "last_bench.json").read_text())
+    assert saved["queries"] == {"q1": 1.0}
+    assert saved["value"] == 4.0

@@ -234,3 +234,8 @@ def test_descendants_bfs_fails_loud_past_max_depth(spark):
     # too shallow: refuses rather than truncating
     with pytest.raises(RuntimeError, match="max_depth"):
         descendants_bfs(chain, roots, "parent", "child", max_depth=3)
+    # ADVICE r5: depth EXACTLY max_depth discovers the last layer on the
+    # final iteration — the closure is complete, so it must converge (the
+    # chain has 6 edges: n1..n6 found across 6 frontier expansions)
+    exact = descendants_bfs(chain, roots, "parent", "child", max_depth=6)
+    assert exact.count() == 7

@@ -43,6 +43,38 @@ def test_canonical_url_sorts_query_and_handles_root(spark):
     assert _canon(spark, ["http://x.com/?utm_source=t"]) == ["x.com/"]
 
 
+def test_canonical_url_tracking_prefix_and_flag_params(spark):
+    # prefix guard: 'refresh' must NOT be stripped because 'ref' is a
+    # tracking param; bare flag params ('&ref' with no value) must go
+    assert _canon(spark, ["http://x.com/p?refresh=1&ref"]) == [
+        "x.com/p?refresh=1"
+    ]
+    # all-tracking query collapses to the bare path
+    assert _canon(spark, ["http://x.com/p?ref&gclid=1"]) == ["x.com/p"]
+
+
+def test_tracking_alternation_is_regex_literal():
+    """ADVICE r5: the alternation must escape each param so a future name
+    containing a metacharacter matches literally, not as regex syntax."""
+    import re
+
+    from thesaurus_based_ner_spark.functions import url as u
+
+    rx = (
+        "(?:^|&)(?:"
+        + "|".join(re.escape(p) for p in u.TRACKING_PARAMS + ["utm.x"])
+        + ")(?:=[^&]*)?(?=&|$)"
+    )
+    # 'utm.x' escaped: the literal dot must not match 'utmax'
+    assert re.sub(rx, "", "utmax=1&utm.x=2") == "utmax=1"
+    # the shipped constant builds with re.escape (same construction)
+    assert u._TRACKING_RE == (
+        "(?:^|&)(?:"
+        + "|".join(re.escape(p) for p in u.TRACKING_PARAMS)
+        + ")(?:=[^&]*)?(?=&|$)"
+    )
+
+
 def test_registrable_domain(spark):
     rows = [
         ("http://a.b.news.example.com/x", "example.com"),
