@@ -59,6 +59,11 @@ SUBMIT_CONF = {
     # same exclusion get_spark() applies (session.py:57-62)
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases",
+    # shuffle/spill on tmpfs, matching bench._spark: this sandbox's disk
+    # has bursty fsync latency that would land in EXECUTOR shuffle writes
+    # and swamp the scaling signal (a real cluster shuffles over
+    # NVMe+network). Applies to every executor and the driver.
+    "spark.local.dir": "/dev/shm/spark-local",
 }
 
 PAYLOAD = r"""
@@ -137,7 +142,10 @@ def run_level(level: int, docs: int, timeout: int) -> dict | None:
             # executor python workers inherit this
             SPARK_GRAFT_BENCH_TMP="/dev/shm",
         )
-        proc = subprocess.run(
+        # the submit runs in its own session so a timeout can kill the
+        # WHOLE app process group (spark-submit execs a driver JVM whose
+        # children would otherwise outlive a plain child kill)
+        submit = subprocess.Popen(
             [
                 os.path.join(SPARK_HOME, "bin", "spark-submit"),
                 "--master", MASTER_URL,
@@ -150,16 +158,25 @@ def run_level(level: int, docs: int, timeout: int) -> dict | None:
                 "--py-files", os.path.join("/tmp", "tbner.zip"),
                 payload_path,
             ],
-            capture_output=True, text=True, env=submit_env, timeout=timeout,
-            cwd=REPO,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=submit_env, cwd=REPO, start_new_session=True,
         )
-        for line in (proc.stdout or "").splitlines():
+        procs.append(submit)
+        try:
+            stdout, stderr = submit.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            # a hung rep must not crash the harness (bench.py main_scaling
+            # learned this in r4) — log, kill the app group, move on
+            sys.stderr.write(
+                f"cluster level={level}: timed out after {timeout}s\n")
+            return None
+        for line in (stdout or "").splitlines():
             if line.startswith("CLUSTER_REP "):
                 return json.loads(line[len("CLUSTER_REP "):])
         sys.stderr.write(
-            f"cluster level={level}: no rep (rc={proc.returncode}); "
+            f"cluster level={level}: no rep (rc={submit.returncode}); "
             "stderr tail:\n" + "\n".join(
-                (proc.stderr or "").splitlines()[-15:]) + "\n")
+                (stderr or "").splitlines()[-15:]) + "\n")
         return None
     finally:
         for p in procs:
@@ -177,7 +194,10 @@ def main() -> None:
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
-    # ship the package the production way
+    # ship the package the production way (fresh archive: zip -r would
+    # only UPDATE an existing /tmp/tbner.zip, keeping deleted members)
+    if os.path.exists("/tmp/tbner.zip"):
+        os.unlink("/tmp/tbner.zip")
     subprocess.run(
         ["zip", "-qr", "/tmp/tbner.zip", "thesaurus_based_ner_spark",
          "bench.py"],
