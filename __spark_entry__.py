@@ -27,77 +27,81 @@ from thesaurus_based_ner_spark.plans import queries_r4 as _q4  # noqa: E402,F401
 
 # The correctness driver evaluates at most the FIRST 50 dict entries
 # (observed: CORRECTNESS_r02 covered exactly queries[0:50] in registration
-# order).  Round-6 rotation: queries whose implementation changed since
-# their last driver row come first (ADVICE r5 — changed code must not be
-# rotated out of the window), then the rest of the exact r4 window, whose
-# driver rows are now two rounds old.  The r5-window 50 rotates out for
-# one round, so the union of r5+r6 again covers all 100 registered
-# queries.  Driver rows for out-of-window queries are r5 (see
-# ROTATION.md); rotation
-# alternates round-over-round so every query is periodically re-verified
-# by the external driver, and every query is additionally value-checked
-# against DuckDB locally every round (tests/test_oracle_parity.py).
+# order).  Round-7 rotation (VERDICT r6 Next #5): the exact r5 window — 50
+# names whose driver rows are now two rounds old — rotates back in; the
+# r6-window 50 rotates out for one round, so the union of r6+r7 again
+# covers all 100 registered queries.  Leading names are the two the r6
+# verdict flagged weak-pending on perf (gold_conll_spans) plus the
+# heaviest untouched r5-window operators (mention_spans_dist,
+# umls_term2cats, np_chunks, eval_* family), per the verdict's own list.
+# No r5-window query's supporting code changed in r6 (the r6 diff touched
+# url.py / graph.py descendants_bfs / catalog.py / pipeline.py, all of
+# whose queries are r6-green).  Rotation alternates round-over-round so
+# every query is periodically re-verified by the external driver, and
+# every query is additionally value-checked against DuckDB locally every
+# round (tests/test_oracle_parity.py).
 _PRIORITY = [
-    # r6 rotation: code changed in r5 -> driver re-verify first
-    # (greedy_bio default strategy flip, url.py single-parse rewrite,
-    #  descendants_bfs depth==max_depth fix this round)
-    "greedy_bio",
-    "canonical_url_dedup",
-    "genia_descendant_cats",
-    # the rest of the r4 window (driver row now 2 rounds old);
-    # r5-window names rotate out for one round -- union r5+r6 = all 100
-    "span_markup_diff",
-    "tui_prefix_terms",
-    "wikidata_class_terms",
-    "twitter_term2cat",
-    "mention_spans",
-    "mention_spans_trie",
-    "mention_label_counts",
-    "chunked_mentions",
-    "canonical_components",
-    "inferred_type_triples",
-    "entity_pagerank",
-    "link_candidates_topk",
-    "overlap_group_resolution",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding",
-    "dedup_clusters",
-    "cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "lang_id",
-    "quality_score",
-    "token_counts",
-    "fingerprint",
-    "winnow_fingerprints",
-    "boilerplate_sentences",
-    "clean_boilerplate",
-    "unigram_logprob",
-    "tfidf_topk",
-    "repetition_stats",
-    "quality_filter",
-    "sessionize_events",
-    "set_prf_click_purchase",
-    "approx_distinct_users",
-    "value_percentiles",
-    "revenue_rollup",
-    "event_type_pivot",
-    "session_window_rollup",
-    "asof_click_signup",
-    "click_purchase_attribution",
-    "salted_segment_revenue",
-    "hourly_event_rollup",
-    "pricing_summary",
-    "region_revenue",
-    "top_customers_per_nation",
+    # perf-weak-pending + verdict-named leads
+    "gold_conll_spans",
+    "mention_spans_dist",
+    "umls_term2cats",
+    "np_chunks",
+    "eval_on_head",
+    "eval_span_detection",
+    "eval_by_length",
+    "eval_negative_token",
+    "eval_fp_analysis",
+    # the rest of the exact r5 window (registration order)
+    "unknown_type_filter",
+    "pseudo_gold_split_union",
+    "conll_category_mapped",
+    "bio_tag_rows",
+    "argmax_part_per_order",
+    "dup_lowercase_names",
+    "suffix_anomaly",
+    "order_window_overlaps",
+    "ancestor_closure",
+    "redirect_fixpoint",
+    "canonical_components_star",
+    "boilerplate_phrases",
+    "gold_pubtator_spans",
+    "negative_cats",
+    "negative_cats_toplevel",
+    "transitive_reduction",
+    "negative_spans_enumerated",
+    "oracle_term_dedup",
+    "remove_misguided",
+    "chunk_right_shift",
+    "msmlc_exploded",
+    "hierarchical_label_selection",
+    "few_shot_docs",
+    "multimodal_features",
+    "multimodal_frame_resize",
+    "metric_diff",
+    "mrconso_pipe_scan",
+    "ttl_predicate_scan",
+    "umls_term2cats_union",
+    "anchor_weighted_cats",
+    "term2cat_argmax",
+    "disambiguation_expansion",
+    "redirect_merged_cats",
+    "inflected_terms",
+    "label_vocab_counts",
+    "pseudo_sentences",
+    "span_mismatch",
+    "label_tree_rollup",
+    "dataset_span_diff",
+    "tagged_space_removal",
+    "doc_sentence_split",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    front = {k: d[k] for k in _PRIORITY if k in d}
+    # A typo'd / renamed _PRIORITY name must fail loud, not silently
+    # shrink the 50-slot driver verification window (ADVICE r6).
+    missing = set(_PRIORITY) - set(d)
+    assert not missing, f"_PRIORITY names absent from registry: {missing}"
+    front = {k: d[k] for k in _PRIORITY}
     return front | {k: v for k, v in d.items() if k not in front}
 
 

@@ -132,7 +132,15 @@ def _spark(cpus: int):
     # so RAM-backed local dirs are the faithful local proxy for scaling.
     local_dir = os.path.join(BENCH_TMP, "spark-local")
     os.makedirs(local_dir, exist_ok=True)
-    return get_spark("bench", cpus=cpus, extra_conf={"spark.local.dir": local_dir})
+    return get_spark("bench", cpus=cpus, extra_conf={
+        "spark.local.dir": local_dir,
+        # r6 scaling crash forensics were lossy: a Python worker died and
+        # the Py4J error string itself failed to serialize, so the cause
+        # was unrecoverable (BENCH/scaling_fail_r2_c1_a0.log). With the
+        # faulthandler the dying worker dumps its own stack into the
+        # executor error message BEFORE the Arrow stream is torn down.
+        "spark.python.worker.faulthandler.enabled": "true",
+    })
 
 
 def run_pipeline_bench(spark, n_docs: int, warmup: bool = False) -> dict:
@@ -250,7 +258,24 @@ def main_pipeline_only(n_docs: int, reps: int = 1) -> None:
     out = []
     warm = True
     for _ in range(reps):
-        out.append(run_pipeline_bench(spark, n_docs, warmup=warm))
+        try:
+            out.append(run_pipeline_bench(spark, n_docs, warmup=warm))
+        except Exception as e:
+            # Serialize the JVM-side stack NOW: in the r6 crash the Py4J
+            # exception's own str() failed once the gateway state was
+            # torn down, losing the root cause entirely.
+            import traceback
+
+            traceback.print_exc()
+            je = getattr(e, "java_exception", None)
+            if je is not None:
+                try:
+                    sys.stderr.write("JAVA_STACK: " + je.toString() + "\n")
+                    for fr in je.getStackTrace():
+                        sys.stderr.write("  at " + fr.toString() + "\n")
+                except Exception:
+                    sys.stderr.write("JAVA_STACK: <unserializable>\n")
+            raise
         warm = False  # one untimed full-size warm-up per session
     best = min(out, key=lambda d: d["wall_s"])
     print(json.dumps({"cpus": CPUS, "best": best, "reps": out}))
@@ -426,16 +451,17 @@ def compute_scaling_probe(nprocs: tuple[int, ...] = (8, 32)) -> dict:
     return {"raw_tasks_per_sec": raw, "engine_tasks_per_sec": engine}
 
 
-def _history_rows() -> str:
+def _history_rows(path: str | None = None) -> str:
     """Render BENCH/scaling_history.jsonl as markdown rows (newest last).
 
     Rows predating the ledger (rounds 2-5) were seeded once from the git
     history of BENCH/BASELINE.md; every main_scaling / cluster_scaling
     run appends its own summary line."""
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH",
-        "scaling_history.jsonl",
-    )
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH",
+            "scaling_history.jsonl",
+        )
     if not os.path.exists(path):
         return "| — | — | — | — | — |"
     rows = []

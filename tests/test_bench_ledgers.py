@@ -18,17 +18,40 @@ sys.path.insert(0, REPO)
 import bench  # noqa: E402
 
 
-def test_history_ledger_renders_every_window():
+def test_history_ledger_renders_every_window(tmp_path):
+    """Renderer contract, pinned against a synthetic fixture ledger
+    (ADVICE r6: asserting literal values from the live evidence file
+    coupled the unit test to data — regenerating the ledger broke the
+    test without any code change)."""
+    path = tmp_path / "history.jsonl"
+    path.write_text(
+        json.dumps({
+            "window": "w1", "harness": "local", "docs": 1000,
+            "efficiency": {"1->4": 0.7}, "best_walls": {"1": 9.0, "4": 3.2},
+        }) + "\n"
+        + "not json\n"  # renderer must skip malformed lines
+        + json.dumps({
+            "window": "w2", "harness": "cluster", "docs": 2000,
+            "efficiency": {"2->8": 0.81}, "best_walls": {},
+        }) + "\n"
+    )
+    rows = bench._history_rows(str(path)).splitlines()
+    assert len(rows) == 2
+    # every row is a well-formed 5-column markdown row
+    assert all(r.startswith("| ") and r.count("|") == 6 for r in rows)
+    text = "\n".join(rows)
+    assert "w1" in text and "1->4: 0.7" in text and "cluster" in text
+
+
+def test_history_ledger_real_file_renders():
+    """Loose sanity on the live ledger: every record renders, no literal
+    value pins."""
     path = os.path.join(REPO, "BENCH", "scaling_history.jsonl")
     with open(path) as f:
         n_records = sum(1 for line in f if line.strip())
     rows = bench._history_rows().splitlines()
-    assert len(rows) == n_records >= 6  # seeded r2/r3/r5 windows present
-    # every row is a well-formed 5-column markdown row
+    assert len(rows) == n_records >= 1
     assert all(r.startswith("| ") and r.count("|") == 6 for r in rows)
-    # the seeded prior windows survived (add, don't replace)
-    text = "\n".join(rows)
-    assert "r3-C" in text and "0.778" in text
 
 
 def test_history_ledger_lines_are_json_with_efficiency():

@@ -59,6 +59,9 @@ SUBMIT_CONF = {
     # same exclusion get_spark() applies (session.py:57-62)
     "spark.sql.optimizer.excludedRules":
         "org.apache.spark.sql.catalyst.optimizer.RemoveRedundantAliases",
+    # dying python workers dump their own stack into the executor error
+    # (r6's worker-crash log was unrecoverable without this)
+    "spark.python.worker.faulthandler.enabled": "true",
     # shuffle/spill on tmpfs, matching bench._spark: this sandbox's disk
     # has bursty fsync latency that would land in EXECUTOR shuffle writes
     # and swamp the scaling signal (a real cluster shuffles over
@@ -166,9 +169,19 @@ def run_level(level: int, docs: int, timeout: int) -> dict | None:
             stdout, stderr = submit.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             # a hung rep must not crash the harness (bench.py main_scaling
-            # learned this in r4) — log, kill the app group, move on
+            # learned this in r4) — kill the whole app process group HERE
+            # and reap it, so the driver JVM and its children are gone
+            # before the next level's cluster starts (ADVICE r6)
             sys.stderr.write(
                 f"cluster level={level}: timed out after {timeout}s\n")
+            try:
+                os.killpg(os.getpgid(submit.pid), signal.SIGKILL)
+            except OSError:
+                pass
+            try:
+                submit.wait(timeout=30)
+            except subprocess.TimeoutExpired:
+                pass
             return None
         for line in (stdout or "").splitlines():
             if line.startswith("CLUSTER_REP "):
@@ -184,6 +197,17 @@ def run_level(level: int, docs: int, timeout: int) -> dict | None:
                 os.killpg(os.getpgid(p.pid), signal.SIGTERM)
             except OSError:
                 pass
+        # reap: un-wait()ed killed children stay zombies with unflushed
+        # pipes for the rest of the run (ADVICE r6)
+        for p in procs:
+            try:
+                p.wait(timeout=15)
+            except (subprocess.TimeoutExpired, OSError):
+                try:
+                    os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+                    p.wait(timeout=5)
+                except (subprocess.TimeoutExpired, OSError):
+                    pass
 
 
 def main() -> None:

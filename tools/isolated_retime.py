@@ -13,8 +13,9 @@ full-size warm-up run, then N timed steady reps.
 Usage:
     python tools/isolated_retime.py mention_spans_dist cosine_topk \
         [--reps 3] [--sf /root/testdata/sf0.1] [--cpus 32]
-Appends one JSON line per query to BENCH/isolated_retimes.jsonl and
-prints a summary.
+    python tools/isolated_retime.py --pipeline [--docs 100000] [--reps 3]
+Appends one JSON line per query (the pipeline counts as query
+"pipeline@<docs>") to BENCH/isolated_retimes.jsonl and prints a summary.
 """
 
 from __future__ import annotations
@@ -22,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -49,38 +51,94 @@ for _ in range(reps):
 print("RETIME " + json.dumps({"query": name, "walls": walls}), flush=True)
 """
 
+# Fresh-JVM pipeline re-time (VERDICT r6 Next #3): one untimed full-size
+# warm-up (inside run_pipeline_bench(warmup=True)), then N-1 further
+# timed steady reps in the same session — exactly the --pipeline-only
+# protocol main_scaling uses, so the number is comparable to the
+# scaling-ledger walls and adjudicates shared-JVM driver-bench swings.
+_CHILD_PIPELINE = r"""
+import json, os, sys
+sys.path.insert(0, os.environ["TBNER_REPO"])
+import bench
+
+docs = int(os.environ["TBNER_DOCS"])
+reps = int(os.environ["TBNER_REPS"])
+spark = bench._spark(int(os.environ["TBNER_CPUS"]))
+out = [bench.run_pipeline_bench(spark, docs, warmup=True)]
+for _ in range(reps - 1):
+    out.append(bench.run_pipeline_bench(spark, docs, warmup=False))
+print("RETIME " + json.dumps({
+    "query": f"pipeline@{docs}",
+    "walls": [r["wall_s"] for r in out],
+    "stage_walls": [r["stage_walls"] for r in out],
+    "triples": out[0]["triples"],
+}), flush=True)
+"""
+
+
+def _run_child(child_src: str, env: dict, timeout: int) -> tuple[str, str, int]:
+    """Run a re-time child in its own session; on timeout kill the whole
+    process group so the child's Spark JVM cannot be orphaned, and return
+    instead of raising so one hung query doesn't abort the batch
+    (ADVICE r6)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src], stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, env=env, cwd=REPO,
+        start_new_session=True,
+    )
+    try:
+        stdout, stderr = proc.communicate(timeout=timeout)
+        return stdout or "", stderr or "", proc.returncode
+    except subprocess.TimeoutExpired:
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except OSError:
+            pass
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            pass
+        return "", f"timed out after {timeout}s (process group killed)", -9
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("queries", nargs="+")
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="re-time the full KG pipeline instead of queries")
+    ap.add_argument("--docs", type=int, default=int(
+        os.environ.get("SPARK_GRAFT_BENCH_DOCS", "100000")))
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--timeout", type=int, default=1800)
     ap.add_argument("--sf", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(
         os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
+    if not args.queries and not args.pipeline:
+        ap.error("name at least one query, or pass --pipeline")
 
     ledger = os.path.join(REPO, "BENCH", "isolated_retimes.jsonl")
     os.makedirs(os.path.dirname(ledger), exist_ok=True)
+    jobs: list[tuple[str, str]] = [(_CHILD, q) for q in args.queries]
+    if args.pipeline:
+        jobs.append((_CHILD_PIPELINE, f"pipeline@{args.docs}"))
     out = {}
-    for name in args.queries:
+    for child_src, name in jobs:
         env = dict(
             os.environ, TBNER_REPO=REPO, TBNER_QUERY=name,
             TBNER_SF=args.sf, TBNER_REPS=str(args.reps),
-            TBNER_CPUS=str(args.cpus),
+            TBNER_CPUS=str(args.cpus), TBNER_DOCS=str(args.docs),
         )
-        proc = subprocess.run(
-            [sys.executable, "-c", _CHILD], capture_output=True,
-            text=True, env=env, timeout=1800, cwd=REPO,
-        )
+        stdout, stderr, rc = _run_child(child_src, env, args.timeout)
         rec = None
-        for line in (proc.stdout or "").splitlines():
+        for line in stdout.splitlines():
             if line.startswith("RETIME "):
                 rec = json.loads(line[len("RETIME "):])
         if rec is None:
             sys.stderr.write(
-                f"{name}: FAILED (rc={proc.returncode}); stderr tail:\n"
-                + "\n".join((proc.stderr or "").splitlines()[-10:]) + "\n")
+                f"{name}: FAILED (rc={rc}); stderr tail:\n"
+                + "\n".join(stderr.splitlines()[-10:]) + "\n")
             continue
         rec.update({
             "window": time.strftime("%Y-%m-%d %H:%M", time.gmtime()),
