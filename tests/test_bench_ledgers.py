@@ -96,3 +96,13 @@ def test_main_default_writes_last_bench_json(monkeypatch, tmp_path):
     saved = json.loads((fake_bench_dir / "last_bench.json").read_text())
     assert saved["queries"] == {"q1": 1.0}
     assert saved["value"] == 4.0
+    # contention visibility (r6: a live 16M --scaling ladder silently
+    # contaminated the driver bench) — the record must carry the field
+    assert isinstance(saved["concurrent_spark_load"], list)
+
+
+def test_concurrent_spark_procs_excludes_self_and_shells():
+    procs = bench._concurrent_spark_procs()
+    assert isinstance(procs, list)
+    assert all(isinstance(p, str) for p in procs)
+    assert not any(p.startswith(("/bin/bash", "/bin/sh")) for p in procs)
