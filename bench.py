@@ -140,6 +140,11 @@ def _spark(cpus: int):
         # faulthandler the dying worker dumps its own stack into the
         # executor error message BEFORE the Arrow stream is torn down.
         "spark.python.worker.faulthandler.enabled": "true",
+        # bench pipelines never legitimately starve a worker socket for
+        # 10 min (heaviest batch is seconds) — tighten the session
+        # default so a wedged scaling rep self-heals in minutes, not at
+        # the 3.7h subprocess timeout
+        "spark.python.worker.idleTimeoutSeconds": "600",
     })
 
 
@@ -225,11 +230,50 @@ def run_headline(spark) -> tuple[dict[str, float], dict[str, float]]:
     return steady, first
 
 
+def _concurrent_spark_procs() -> list[str]:
+    """Cmdlines of OTHER Spark-loaded processes on this host.
+
+    Round 6's 'pipeline regression' (11.5s→16.8s) was measured while a
+    16M-doc --scaling ladder was live on the same box — the bench number
+    was contention, not a plan change, but nothing in the artifact said
+    so. Recording concurrent load makes a contaminated window visible in
+    BENCH_r{N}.json itself instead of needing forensics a round later."""
+    me = os.getpid()
+    markers = (
+        "bench.py --pipeline-only", "bench.py --scaling", "spark-submit",
+        "deploy.master.Master", "deploy.worker.Worker",
+        "isolated_retime", "cluster_scaling",
+    )
+    found = []
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit() or int(pid) == me:
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().replace(b"\0", b" ").decode(
+                        "utf-8", "replace").strip()
+            except OSError:
+                continue
+            # shells merely mentioning a marker (e.g. the command that
+            # launched a run) are not load — only real python/java/submit
+            # processes count
+            if cmd.startswith(("/bin/bash", "/bin/sh", "bash ", "sh ")):
+                continue
+            if any(m in cmd for m in markers):
+                found.append(cmd[:200])
+    except OSError:
+        pass
+    return found
+
+
 def main_default() -> None:
+    contended_at_start = _concurrent_spark_procs()
     spark = _spark(CPUS)
     times, first = run_headline(spark)
     pipe = run_pipeline_bench(spark, PIPELINE_DOCS, warmup=True)
     total = round(sum(times.values()) + pipe["wall_s"], 3)
+    concurrent = sorted(set(contended_at_start) | set(_concurrent_spark_procs()))
     out = {
         "metric": "headline_queries_plus_kg_pipeline",
         "value": total,
@@ -239,6 +283,8 @@ def main_default() -> None:
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
         "pipeline": pipe,
+        # non-empty => walls in this record are contention-suspect
+        "concurrent_spark_load": concurrent,
     }
     # The driver captures only the TAIL of stdout, which truncates the
     # per-query dict's head out of BENCH_r0N.json every round (VERDICT r5

@@ -29,7 +29,12 @@ def get_spark(
     if cpus is None:
         cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
         cpus = int(cpus_env) if cpus_env else 0
-    master = f"local[{cpus}]" if cpus and cpus > 0 else "local[*]"
+    # local[N,4]: allow 4 task attempts like a real cluster
+    # (spark.task.maxFailures default). Local mode's default of 1 turns a
+    # single sandbox-killed python worker into a whole-job failure; on a
+    # 1000-executor cluster task retry is the normal recovery path and the
+    # engine's operators are deterministic under re-execution.
+    master = f"local[{cpus},4]" if cpus and cpus > 0 else "local[*,4]"
     if shuffle_partitions is None:
         shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, (cpus or 32) * 2)
     builder = (
@@ -52,6 +57,18 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Self-healing python workers: this sandbox sporadically kills
+        # python worker processes with no OOM record (observed rounds
+        # 4/6/7; round-7 jstack: task thread wedged forever in
+        # ArrowStreamReader.loadNextBatch after 3 of 4 workers vanished
+        # and the stdout-writer thread died). With an idle-kill the JVM
+        # terminates the unresponsive worker after 30 min, the read fails
+        # with real diagnostics, and the task retries — the same recovery
+        # a cluster relies on for executor loss. 1800s is ~100x the
+        # engine's worst per-batch worker stall, so legitimate slow
+        # batches are never killed.
+        .config("spark.python.worker.idleTimeoutSeconds", "1800")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
         # Spark 4.1.2: RemoveRedundantAliases emits invalid plans (and
         # checkpoint/cache canonicalization NoSuchElementExceptions) on
         # iterative self-join graphs over checkpointed frames; excluding it
