@@ -106,3 +106,28 @@ def test_concurrent_spark_procs_excludes_self_and_shells():
     assert isinstance(procs, list)
     assert all(isinstance(p, str) for p in procs)
     assert not any(p.startswith(("/bin/bash", "/bin/sh")) for p in procs)
+
+
+def test_scaling_report_summarize_matches_bench_math(tmp_path):
+    """tools/scaling_report.py must reproduce main_scaling's efficiency
+    formula ((tp@4N / tp@N) / 4, best rep per level) from ledger rows."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import scaling_report
+
+    ledger = tmp_path / "progress.jsonl"
+    rows = [
+        {"docs": 100, "cpus": 1, "round": 0,
+         "reps": [{"wall_s": 10.0, "triples_per_sec": 100.0}]},
+        {"docs": 100, "cpus": 1, "round": 1,
+         "reps": [{"wall_s": 12.0, "triples_per_sec": 90.0}]},
+        {"docs": 100, "cpus": 4, "round": 0,
+         "reps": [{"wall_s": 3.0, "triples_per_sec": 320.0}]},
+        {"docs": 999, "cpus": 4, "round": 0,  # other docs: excluded
+         "reps": [{"wall_s": 1.0, "triples_per_sec": 9999.0}]},
+    ]
+    ledger.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    reps = scaling_report.load_reps(str(ledger), 100)
+    out = scaling_report.summarize(reps, [(1, 4)])
+    assert out["efficiency"] == {"1->4": 0.8}  # (320/100)/4
+    assert out["best_walls"] == {1: 10.0, 4: 3.0}
+    assert out["all_walls"][1] == [10.0, 12.0]
