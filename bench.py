@@ -421,7 +421,17 @@ def raw_spin_control(nprocs: tuple[int, ...] = (8, 32)) -> dict:
         running: list = []
         done = 0
         spawned = 0
+        last_progress = time.time()
         while done < n_tasks:
+            # reap exited children promptly: a child's q.put lands
+            # teardown-milliseconds BEFORE it stops being is_alive(), so a
+            # top-of-loop liveness check right after q.get sees the slot
+            # still occupied. With a long blocking get that race serialized
+            # a 120s dead-wait behind EVERY task at nproc=1 (the slot never
+            # respawned until the get timed out) — poll with a short get
+            # and re-reap instead.
+            for p in running:
+                p.join(timeout=0)
             running = [p for p in running if p.is_alive()]
             while spawned < n_tasks and len(running) < nproc:
                 p = mp.Process(target=worker, args=(q, SPIN_ITERS))
@@ -429,21 +439,25 @@ def raw_spin_control(nprocs: tuple[int, ...] = (8, 32)) -> dict:
                 running.append(p)
                 spawned += 1
             try:
-                q.get(timeout=120)
+                q.get(timeout=0.25)
             except _queue.Empty:
                 # silently-dead children (sandbox race, see
-                # hw_bandwidth_probe) are respawned: mark their task slots
-                # unspawned and loop — never block the run forever
-                running = [p for p in running if p.is_alive()]
-                lost = spawned - done - len(running)
-                if lost > 0:
-                    print(
-                        f"spin control: respawning {lost} silently-dead "
-                        f"workers at nproc={nproc}", file=sys.stderr,
-                    )
-                    spawned -= lost
+                # hw_bandwidth_probe) are respawned: after 120s with no
+                # result, mark their task slots unspawned and loop — never
+                # block the run forever
+                if time.time() - last_progress > 120:
+                    running = [p for p in running if p.is_alive()]
+                    lost = spawned - done - len(running)
+                    if lost > 0:
+                        print(
+                            f"spin control: respawning {lost} silently-dead "
+                            f"workers at nproc={nproc}", file=sys.stderr,
+                        )
+                        spawned -= lost
+                    last_progress = time.time()
                 continue
             done += 1
+            last_progress = time.time()
         wall = time.time() - t0
         out[nproc] = round(n_tasks / wall, 3)
     return out
@@ -567,6 +581,254 @@ SCALING_PAIRS = _pairs_from_env()
 SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
 
 
+def _eff(results: dict, n: int, n4: int) -> float:
+    tpn = results[n]["best"]["triples_per_sec"]
+    tp4 = results[n4]["best"]["triples_per_sec"]
+    return round((tp4 / tpn) / (n4 / n), 3)
+
+
+def _bw_eff(bw: dict, n: int, n4: int) -> float | None:
+    """Hardware copy-bandwidth scaling efficiency over the same pair —
+    the bound a memory-bound job cannot beat on ONE shared memory system
+    (each executor on a real cluster brings its own)."""
+    if n in bw and n4 in bw and bw[n]:
+        return round((bw[n4] / bw[n]) / (n4 / n), 3)
+    return None
+
+
+def _pair_row(label: str, e: float, bw: dict, n: int, n4: int) -> str:
+    hw = _bw_eff(bw, n, n4)
+    if hw is None:
+        return f"| {label} | {e} |"
+    return f"| {label} | {e} | {hw} | {round(e / hw, 2) if hw else '—'} |"
+
+
+def _cluster_section(bench_dir: str, bw: dict | None = None) -> str:
+    """Render BENCH/cluster_scaling.jsonl (tools/cluster_scaling.py reps:
+    real standalone master + N single-core executor JVMs) as one table
+    per doc count, largest first. Empty string if the ledger is absent,
+    so local-only checkouts render unchanged."""
+    bw = bw or {}
+    path = os.path.join(bench_dir, "cluster_scaling.jsonl")
+    if not os.path.exists(path):
+        return ""
+    by_docs: dict[int, dict[int, list[dict]]] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            by_docs.setdefault(rec["docs"], {}).setdefault(
+                rec["level"], []).append(rec["rep"])
+    if not by_docs:
+        return ""
+    blocks = []
+    for docs in sorted(by_docs, reverse=True):
+        levels = by_docs[docs]
+        best = {
+            lv: min(rs, key=lambda r: r["wall_s"])
+            for lv, rs in levels.items()
+        }
+        rows = "\n".join(
+            f"| {lv} × 1-core executors | {best[lv]['wall_s']} "
+            f"| {best[lv]['triples_per_sec']} "
+            f"| {[r['wall_s'] for r in levels[lv]]} |"
+            for lv in sorted(levels)
+        )
+        eff_row = ""
+        if len(best) >= 2:
+            lo, hi = min(best), max(best)
+            e = round(
+                best[hi]["triples_per_sec"] / best[lo]["triples_per_sec"]
+                / (hi / lo), 3,
+            )
+            eff_row = (
+                f"\n\nPair efficiency ({lo} → {hi} executors): **{e}**"
+                f" (target ≥ 0.8 per BASELINE.json north_rule)."
+            )
+            hw = _bw_eff(bw, lo, hi)
+            if hw is not None:
+                eff_row += (
+                    f" The host's own copy-bandwidth scaling over the same"
+                    f" pair is {hw} (all executors share ONE memory system"
+                    f" here; on a real cluster each brings its own), so the"
+                    f" engine reaches {round(e / hw, 2)}× the hardware"
+                    f" bound."
+                )
+        blocks.append(
+            f"### {docs} docs\n\n"
+            "| executors | best wall s | triples/sec | all rep walls s |\n"
+            "|---|---|---|---|\n" + rows + eff_row
+        )
+    return (
+        "\n## Tier-2: standalone-cluster harness (N vs 4N EXECUTORS)\n\n"
+        "tools/cluster_scaling.py — the north rule's own regime: a real\n"
+        "Spark standalone master with N single-core worker JVMs on this\n"
+        "host (separate executor processes, netty shuffle, per-executor\n"
+        "Arrow python workers; client-mode driver). Same protocol as the\n"
+        "local ladder: fresh cluster per (round, level), untimed\n"
+        "full-size warm-up, one timed steady rep; best rep reported.\n\n"
+        + "\n\n".join(blocks) + "\n"
+    )
+
+
+def _retime_section(bench_dir: str) -> str:
+    """Render BENCH/isolated_retimes.jsonl (tools/isolated_retime.py:
+    fresh-JVM, uncontended, warm-up + 3 steady reps) — the adjudication
+    record for bench-wall swings. Empty string if absent."""
+    path = os.path.join(bench_dir, "isolated_retimes.jsonl")
+    if not os.path.exists(path):
+        return ""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            rows.append(
+                f"| {rec.get('query', '—')} | {rec.get('best', '—')} "
+                f"| {rec.get('walls', [])} | {rec.get('cpus', '—')} "
+                f"| {rec.get('window', '—')} |"
+            )
+    if not rows:
+        return ""
+    return (
+        "\n## Isolated re-times (fresh JVM, uncontended, 3 steady reps)\n\n"
+        "Adjudication record for shared-JVM bench-wall swings\n"
+        "(tools/isolated_retime.py; analysis in BENCH/ADJUDICATION_r7.md).\n\n"
+        "| target | best wall s | all walls s | cpus | window |\n"
+        "|---|---|---|---|---|\n" + "\n".join(rows) + "\n"
+    )
+
+
+def write_baseline_report(
+    bench_dir: str,
+    docs: int,
+    results: dict,
+    bw: dict,
+    comp: dict,
+    rounds: int,
+    pairs: list[tuple[int, int]],
+) -> None:
+    """Write BENCH/BASELINE.md from measured results + sibling ledgers.
+
+    Every section that has a durable ledger (history, cluster harness,
+    isolated re-times) is rendered FROM that ledger here, so a wholesale
+    rewrite by any caller keeps every other harness's evidence — the
+    r5/r6 failure was main_scaling dropping the cluster/retime prose it
+    didn't know about (VERDICT r5 Wrong #3: add, don't replace)."""
+    levels = sorted(results)
+    rows = "\n".join(
+        f"| local[{c}] | {docs} | {results[c]['best']['triples']} "
+        f"| {results[c]['best']['wall_s']} "
+        f"| {results[c]['best']['triples_per_sec']} "
+        f"| {[r['wall_s'] for r in results[c]['reps']]} |"
+        for c in levels
+    )
+    shown = [(n, n4) for n, n4 in pairs if n in results and n4 in results]
+    with_hw = bool(shown) and all(
+        _bw_eff(bw, n, n4) is not None for n, n4 in shown
+    )
+    if with_hw:
+        pair_header = (
+            "| pair (N → 4N) | engine eff (tp@4N / tp@N) / 4 "
+            "| hw copy-bw eff | engine / hw |\n|---|---|---|---|"
+        )
+    else:
+        pair_header = (
+            "| pair (N → 4N) | scaling efficiency (tp@4N / tp@N) / 4 |"
+            "\n|---|---|"
+        )
+    pair_rows = "\n".join(
+        _pair_row(f"local[{n}] → local[{n4}]", _eff(results, n, n4), bw, n, n4)
+        if with_hw
+        else f"| local[{n}] → local[{n4}] | {_eff(results, n, n4)} |"
+        for n, n4 in shown
+    )
+    bw_rows = " · ".join(f"{n} procs: {v} GB/s" for n, v in bw.items())
+    bw_ratio = (
+        round(bw[32] / bw[8], 2) if 8 in bw and 32 in bw else "?"
+    )
+    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH — scaling evidence (N vs 4N parallelism)
+
+Protocol (BASELINE.md north rule): full KG pipeline (extract → sentencize
+→ match → link → canonicalize → materialize) on the same deterministic
+synthetic webtext ({docs} docs), run at two (N, 4N) parallelism pairs.
+{rounds} interleaved rounds: each round launches every level once
+(fresh JVM, one untimed full-size warm-up — JIT / codegen / allocator
+warm-up is a one-time constant, not a scaling property — then one timed
+steady-state rep), so host-noise bursts land on adjacent levels of the
+same round instead of skewing one level's whole rep block. Best rep
+reported; all rep walls listed in round order.
+
+| parallelism | docs | triples | best wall s | triples/sec | all rep walls s |
+|---|---|---|---|---|---|
+{rows}
+
+{pair_header}
+{pair_rows}
+
+(target ≥ 0.8 per BASELINE.json north_rule)
+{_cluster_section(bench_dir, bw)}
+## History — every measured window (BENCH/scaling_history.jsonl)
+
+This host's throughput drifts ~1.4× between multi-hour windows, so no
+single window is authoritative; all measured efficiencies are kept
+(add, don't replace). "cluster" rows are the tier-2 standalone-cluster
+harness (tools/cluster_scaling.py — real 1-core executor JVMs).
+
+| window (round) | harness | docs | pair efficiencies | best walls s |
+|---|---|---|---|---|
+{_history_rows(os.path.join(bench_dir, "scaling_history.jsonl"))}
+{_retime_section(bench_dir)}
+## Hardware context: this VM's memory-bandwidth ceiling
+
+STREAM-style copy bandwidth (read+write) by process count:
+{bw_rows}.
+
+The ceiling is reached well below 32 cores: 8 procs already draw
+{bw.get(8, '?')} GB/s and 32 procs get only {bw.get(32, '?')} GB/s —
+{bw_ratio}× for 4× the
+cores — while a pure-register spin loop scales 3.56×/4×. Scan, parquet
+decode, shuffle and string work are memory-bound, so the (8 → 32) pair is
+capped by the host's memory system, not by the engine's plan shape; the
+(2 → 8) pair runs in the unsaturated régime and is the faithful proxy for
+adding *executors* (each with its own memory system) on a real cluster.
+Shuffles here also stay on one host — on a cluster they cross the network
+but also gain aggregate bandwidth per executor added.
+
+## Run D — compute-bound positive control (engine vs raw processes)
+
+The same pure-CPU spin task ({SPIN_ITERS} multiply-add iterations, zero
+data volume) executed two ways at each level: as raw OS processes
+(hardware bound) and as one-task-per-partition mapInPandas through the
+full Spark scheduler + Arrow + python-worker stack. Raw processes
+themselves scale sub-linearly on this VM (all-core turbo < few-core
+turbo), so the raw row is the hardware bound for ANY engine; the engine
+row tracking it shows the scheduler/worker stack adds no scaling
+overhead when the memory wall is out of the picture.
+
+| level | raw procs tasks/s | engine tasks/s | engine/raw |
+|---|---|---|---|
+{_comp_rows(comp)}
+
+| pair | raw eff (/4) | engine eff (/4) | engine-vs-raw eff |
+|---|---|---|---|
+{_comp_pair_row(comp, *pairs[0])}
+"""
+        )
+
+
 def main_scaling() -> None:
     """N vs 4N evidence: the same pipeline at two parallelism-level pairs.
 
@@ -589,6 +851,14 @@ def main_scaling() -> None:
     """
     docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "1000000"))
     levels = sorted({c for pair in SCALING_PAIRS for c in pair})
+    # SPARK_GRAFT_SCALING_LEVELS=4 re-runs ONE leg (adjudicating a single
+    # suspect rep) while the other legs' reps come from the resume ledger —
+    # the efficiency/report math still sees every level.
+    only = os.environ.get("SPARK_GRAFT_SCALING_LEVELS")
+    run_levels = levels
+    if only:
+        keep = {int(x) for x in only.split(",") if x}
+        run_levels = [c for c in levels if c in keep]
     bw = hw_bandwidth_probe()
     # run D: compute-bound positive control (engine vs raw processes);
     # skippable for targeted pipeline-only re-runs
@@ -654,7 +924,7 @@ def main_scaling() -> None:
             f"from {progress_path}", file=sys.stderr,
         )
     for _round in range(SCALING_REPS):
-        for cpus in levels:
+        for cpus in run_levels:
             if (_round, cpus) in done:
                 continue
             env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
@@ -721,11 +991,6 @@ def main_scaling() -> None:
             results[cpus]["reps"], key=lambda d: d["wall_s"]
         )
 
-    def eff(n: int, n4: int) -> float:
-        tpn = results[n]["best"]["triples_per_sec"]
-        tp4 = results[n4]["best"]["triples_per_sec"]
-        return round((tp4 / tpn) / 4.0, 3)
-
     # Append this window to the cross-round history ledger BEFORE writing
     # the report: main_scaling rewrites BENCH/BASELINE.md wholesale, which
     # silently dropped every earlier window's numbers (VERDICT r5 Wrong #3
@@ -739,95 +1004,20 @@ def main_scaling() -> None:
             "harness": "local",
             "docs": docs,
             "rounds": SCALING_REPS,
-            "efficiency": {f"{n}->{n4}": eff(n, n4) for n, n4 in SCALING_PAIRS},
+            "efficiency": {
+                f"{n}->{n4}": _eff(results, n, n4)
+                for n, n4 in SCALING_PAIRS
+            },
             "best_walls": {c: results[c]["best"]["wall_s"] for c in levels},
             "bandwidth_gb_s": bw,
         }) + "\n")
 
-    rows = "\n".join(
-        f"| local[{c}] | {docs} | {results[c]['best']['triples']} "
-        f"| {results[c]['best']['wall_s']} "
-        f"| {results[c]['best']['triples_per_sec']} "
-        f"| {[r['wall_s'] for r in results[c]['reps']]} |"
-        for c in levels
+    write_baseline_report(
+        bench_dir, docs, results, bw, comp,
+        rounds=SCALING_REPS, pairs=SCALING_PAIRS,
     )
-    pair_rows = "\n".join(
-        f"| local[{n}] → local[{n4}] | {eff(n, n4)} |" for n, n4 in SCALING_PAIRS
-    )
-    bw_rows = " · ".join(f"{n} procs: {v} GB/s" for n, v in bw.items())
-    with open(os.path.join(bench_dir, "BASELINE.md"), "w") as f:
-        f.write(
-            f"""# BENCH — scaling evidence (N vs 4N parallelism)
-
-Protocol (BASELINE.md north rule): full KG pipeline (extract → sentencize
-→ match → link → canonicalize → materialize) on the same deterministic
-synthetic webtext ({docs} docs), run at two (N, 4N) parallelism pairs.
-{SCALING_REPS} interleaved rounds: each round launches every level once
-(fresh JVM, one untimed full-size warm-up — JIT / codegen / allocator
-warm-up is a one-time constant, not a scaling property — then one timed
-steady-state rep), so host-noise bursts land on adjacent levels of the
-same round instead of skewing one level's whole rep block. Best rep
-reported; all rep walls listed in round order.
-
-| parallelism | docs | triples | best wall s | triples/sec | all rep walls s |
-|---|---|---|---|---|---|
-{rows}
-
-| pair (N → 4N) | scaling efficiency (tp@4N / tp@N) / 4 |
-|---|---|
-{pair_rows}
-
-(target ≥ 0.8 per BASELINE.json north_rule)
-
-## History — every measured window (BENCH/scaling_history.jsonl)
-
-This host's throughput drifts ~1.4× between multi-hour windows, so no
-single window is authoritative; all measured efficiencies are kept
-(add, don't replace). "cluster" rows are the tier-2 standalone-cluster
-harness (tools/cluster_scaling.py — real 1-core executor JVMs).
-
-| window (round) | harness | docs | pair efficiencies | best walls s |
-|---|---|---|---|---|
-{_history_rows()}
-
-## Hardware context: this VM's memory-bandwidth ceiling
-
-STREAM-style copy bandwidth (read+write) by process count:
-{bw_rows}.
-
-The ceiling is reached well below 32 cores: 8 procs already draw
-{bw.get(8, '?')} GB/s and 32 procs get only {bw.get(32, '?')} GB/s —
-{round(bw[32] / bw[8], 2) if 8 in bw and 32 in bw else '?'}× for 4× the
-cores — while a pure-register spin loop scales 3.56×/4×. Scan, parquet
-decode, shuffle and string work are memory-bound, so the (8 → 32) pair is
-capped by the host's memory system, not by the engine's plan shape; the
-(2 → 8) pair runs in the unsaturated régime and is the faithful proxy for
-adding *executors* (each with its own memory system) on a real cluster.
-Shuffles here also stay on one host — on a cluster they cross the network
-but also gain aggregate bandwidth per executor added.
-
-## Run D — compute-bound positive control (engine vs raw processes)
-
-The same pure-CPU spin task ({SPIN_ITERS} multiply-add iterations, zero
-data volume) executed two ways at each level: as raw OS processes
-(hardware bound) and as one-task-per-partition mapInPandas through the
-full Spark scheduler + Arrow + python-worker stack. Raw processes
-themselves scale sub-linearly on this VM (all-core turbo < few-core
-turbo), so the raw row is the hardware bound for ANY engine; the engine
-row tracking it shows the scheduler/worker stack adds no scaling
-overhead when the memory wall is out of the picture.
-
-| level | raw procs tasks/s | engine tasks/s | engine/raw |
-|---|---|---|---|
-{_comp_rows(comp)}
-
-| pair | raw eff (/4) | engine eff (/4) | engine-vs-raw eff |
-|---|---|---|---|
-{_comp_pair_row(comp, *SCALING_PAIRS[0])}
-"""
-        )
     print(json.dumps({
-        "efficiency": {f"{n}->{n4}": eff(n, n4) for n, n4 in SCALING_PAIRS},
+        "efficiency": {f"{n}->{n4}": _eff(results, n, n4) for n, n4 in SCALING_PAIRS},
         "compute_control": comp,
         "bandwidth_gb_s": bw,
         "results": {
