@@ -10,9 +10,11 @@ Default mode (what the driver runs):
 
 Scaling mode (BASELINE.md protocol — N vs 4N parallelism evidence):
     python bench.py --scaling
-  → runs the pipeline-only benchmark in two subprocesses (local[8],
-    local[32]) on the same input and writes BENCH/BASELINE.md with
-    triples/sec at both levels + scaling efficiency.
+  → runs the pipeline-only benchmark in one subprocess per parallelism
+    level (pairs from SPARK_GRAFT_SCALING_PAIRS, default (1,4)/(2,8)/
+    (8,32)) on the same input, ledger-resumable, and writes
+    BENCH/BASELINE.md with triples/sec per level + pair efficiencies.
+    SPARK_GRAFT_SCALING_LEVELS=4 re-runs a single leg (adjudication).
 
 Pipeline-only mode (used by --scaling subprocesses):
     python bench.py --pipeline-only --docs N
@@ -812,11 +814,11 @@ but also gain aggregate bandwidth per executor added.
 The same pure-CPU spin task ({SPIN_ITERS} multiply-add iterations, zero
 data volume) executed two ways at each level: as raw OS processes
 (hardware bound) and as one-task-per-partition mapInPandas through the
-full Spark scheduler + Arrow + python-worker stack. Raw processes
-themselves scale sub-linearly on this VM (all-core turbo < few-core
-turbo), so the raw row is the hardware bound for ANY engine; the engine
-row tracking it shows the scheduler/worker stack adds no scaling
-overhead when the memory wall is out of the picture.
+full Spark scheduler + Arrow + python-worker stack. The raw row is the
+hardware bound for ANY engine at the probed pair (near-linear at low
+core counts, sub-linear once all-core turbo bites); the engine row
+tracking it shows the scheduler/worker stack adds no scaling overhead
+when the memory wall is out of the picture.
 
 | level | raw procs tasks/s | engine tasks/s | engine/raw |
 |---|---|---|---|
