@@ -28,6 +28,23 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class Catalog:
+    """Per-stage materialization + lineage over parquet or Iceberg.
+
+    KNOWN LIMITATION (permanent for this sandbox; verified rounds 3-8):
+    the `use_iceberg=True` branch (writeTo / MERGE INTO / snapshot-id
+    lineage / refs->history->snapshots head resolution) has never run
+    against a real Iceberg catalog here because no iceberg-spark-runtime
+    jar exists in the container and none can be fetched offline (round-8
+    attempt: no maven/ivy cache, pip cache clean, index unreachable).
+    Every Iceberg statement shape, the DataFrameWriterV2 call order, and
+    the snapshot-resolution ORDER are pinned by mocked-catalog tests
+    (tests/test_iceberg_paths.py); the parquet branch is the one
+    exercised end-to-end. Deploying against a real catalog: add
+    `--packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>`
+    and the usual spark_catalog conf — autodetect below then flips the
+    branch on with no code change.
+    """
+
     def __init__(self, spark: SparkSession, root: str, use_iceberg: bool | None = None):
         self.spark = spark
         self.root = root
