@@ -40,6 +40,10 @@ from thesaurus_based_ner_spark.plans import queries_r4 as _q4  # noqa: E402,F401
 # query is additionally value-checked against DuckDB locally every round
 # (tests/test_oracle_parity.py).
 _PRIORITY = [
+    # r8 NEW code first (VERDICT r7 Next #4: lead with queries whose
+    # supporting code changed this round) — displaces the untouched
+    # r6-green top_customers_per_nation to slot 51.
+    "auto_salt_decision",
     # verdict-named leads: the weak-pending swing + heaviest r6 names
     "inferred_type_triples",
     "canonical_url_dedup",

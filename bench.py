@@ -780,6 +780,71 @@ def _retime_section(bench_dir: str) -> str:
     )
 
 
+def _skew_section(bench_dir: str) -> str:
+    """Render BENCH/skew_stress.jsonl (tools/skew_stress.py: unsalted vs
+    salted star-edge canonicalize on a deterministic hot-key corpus).
+    Empty string if absent."""
+    path = os.path.join(bench_dir, "skew_stress.jsonl")
+    if not os.path.exists(path):
+        return ""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            st = rec.get("straggler_stage") or {}
+            rows.append(
+                f"| {rec.get('rows', '—')} | {rec.get('head_pct', '—')}% "
+                f"| {rec.get('variant', '—')} (salt={rec.get('n_salt')}) "
+                f"| {rec.get('wall_s', '—')} "
+                f"| {st.get('rows_max', '—')} / {st.get('rows_median', '—')}"
+                f" = {st.get('rows_ratio', '—')} "
+                f"| {st.get('dur_max_s', '—')} / {st.get('dur_median_s', '—')}"
+                f" = {st.get('ratio', '—')} "
+                f"| {rec.get('window', '—')} |"
+            )
+    if not rows:
+        return ""
+    return (
+        "\n## Hot-key skew stress (unsalted vs salted star-edge"
+        " canonicalize)\n\n"
+        "tools/skew_stress.py: one head surface ('usa') holds head% of\n"
+        "all mentions over a ~20-entities/surface tail; the star-edge\n"
+        "window routes every row of a surface through ONE task, so the\n"
+        "head key pins a task and AQE cannot split it (skew handling\n"
+        "applies to joins, not windows) — `surface_star_edges(n_salt>1)`\n"
+        "is the bound. Shuffle partitions are pinned (AQE coalescing off\n"
+        "in the child: at 100 TB partitions sit AT the coalesce target,\n"
+        "so toy-scale coalescing hides a hot key that would be real at\n"
+        "scale). head=1% is the realistic regime — the straggler shows in\n"
+        "max/median window-task rows, not the 32-core wall (a ~1% key\n"
+        "bounds the wall only at cluster core counts, hot_fraction >\n"
+        "1/cores). head=12.5% makes the hot task bound the wall locally\n"
+        "(unsalted wall grows by ~= the straggler task); salting removes\n"
+        "the straggler in BOTH regimes but its ~2-extra-pass overhead\n"
+        "dominates at toy scale, so the salted WALL wins only at cluster\n"
+        "core counts / task-memory limits — the break-even analysis is in\n"
+        "SCALE.md (Canonicalization), and canonical_salt='auto'\n"
+        "(choose_canonical_salt) flips on measured skew, not by default.\n"
+        "The demonstrated contract here is the bound itself: the hot\n"
+        "key's per-task share drops from 37.6x median to 3.3x.\n\n"
+        "Straggler stage = the pinned-partition window stage; its\n"
+        "max/median SHUFFLE-READ ROWS is the deterministic skew witness\n"
+        "(sub-second task durations on a shared host carry scheduling\n"
+        "noise; row counts don't). Wall includes the identical scan +\n"
+        "distinct prefix of both variants.\n\n"
+        "| rows | head | variant | wall s "
+        "| window-task rows max/med | window-task dur s max/med "
+        "| window |\n"
+        "|---|---|---|---|---|---|---|\n" + "\n".join(rows) + "\n"
+    )
+
+
 def write_baseline_report(
     bench_dir: str,
     docs: int,
@@ -861,7 +926,7 @@ harness (tools/cluster_scaling.py — real 1-core executor JVMs).
 | window (round) | harness | docs | pair efficiencies | best walls s |
 |---|---|---|---|---|
 {_history_rows(os.path.join(bench_dir, "scaling_history.jsonl"))}
-{_retime_section(bench_dir)}
+{_retime_section(bench_dir)}{_skew_section(bench_dir)}
 ## Hardware context: this VM's memory-bandwidth ceiling
 
 STREAM-style copy bandwidth (read+write) by process count:

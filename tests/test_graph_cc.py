@@ -239,3 +239,78 @@ def test_descendants_bfs_fails_loud_past_max_depth(spark):
     # chain has 6 edges: n1..n6 found across 6 frontier expansions)
     exact = descendants_bfs(chain, roots, "parent", "child", max_depth=6)
     assert exact.count() == 7
+
+
+def test_choose_canonical_salt_uniform_stays_unsalted(spark):
+    """No hot key -> n_salt=1: the salted star costs extra passes, so the
+    heuristic must not enable it on uniform surface distributions."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        choose_canonical_salt,
+    )
+
+    rows = [(f"E{i:04d}", f"surf{i % 500}") for i in range(2000)]
+    anchor = spark.createDataFrame(rows, "entity string, surface string")
+    assert choose_canonical_salt(anchor, shuffle_partitions=32) == 1
+
+
+def test_choose_canonical_salt_hot_key_gets_power_of_two(spark):
+    """One surface holding half the rows at 32 partitions: median task
+    ~= total/32, hot = total/2 = 16x median -> smallest power of two
+    bringing hot/salt under 4x median is 4 (16/4 = 4x exactly)."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        _surface_skew_stats,
+        choose_canonical_salt,
+    )
+
+    rows = [(f"E{i:04d}", "usa") for i in range(1000)]
+    rows += [(f"F{i:04d}", f"surf{i}") for i in range(1000)]
+    anchor = spark.createDataFrame(rows, "entity string, surface string")
+    assert _surface_skew_stats(anchor) == (2000, 1000)
+    # target = 4 * 2000/32 = 250; 1000/4 = 250 <= 250 -> salt 4
+    assert choose_canonical_salt(anchor, shuffle_partitions=32) == 4
+
+
+def test_choose_canonical_salt_clamps_and_normalizes(spark):
+    """max_salt clamps an extreme key; normalization must mirror
+    surface_star_edges (case-folded duplicates collapse, NULL/blank rows
+    are excluded from the stats)."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        _surface_skew_stats,
+        choose_canonical_salt,
+    )
+
+    rows = [(f"E{i:04d}", "USA" if i % 2 else "usa") for i in range(64)]
+    rows += [("E9000", None), ("E9001", "  ")]
+    anchor = spark.createDataFrame(rows, "entity string, surface string")
+    # all 64 rows fold onto one nsurf; dirty rows don't count
+    assert _surface_skew_stats(anchor) == (64, 64)
+    assert (
+        choose_canonical_salt(anchor, shuffle_partitions=256, max_salt=8)
+        == 8
+    )
+    empty = anchor.filter(F.col("surface").isNull())
+    assert choose_canonical_salt(empty, shuffle_partitions=256) == 1
+
+
+def test_choose_canonical_salt_flags_hot_key_and_cc_is_invariant(spark):
+    """The heuristic flags a genuinely hot surface, and the salt it picks
+    leaves the CC output identical to the unsalted star."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        canonicalize_entities,
+        choose_canonical_salt,
+    )
+
+    rows = [(f"E{i:04d}", "usa") for i in range(300)]
+    rows += [(f"F{i:04d}", f"surf{i}") for i in range(100)]
+    anchor = spark.createDataFrame(rows, "entity string, surface string")
+    salt = choose_canonical_salt(anchor, shuffle_partitions=256)
+    assert salt > 1  # 300 hot vs target 4*400/256 ~= 6.2
+    unsalted = {
+        (r["entity"], r["canonical"])
+        for r in canonicalize_entities(anchor, n_salt=1).collect()
+    }
+    salted = {
+        (r["entity"], r["canonical"])
+        for r in canonicalize_entities(anchor, n_salt=salt).collect()
+    }
+    assert unsalted == salted

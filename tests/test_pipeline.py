@@ -273,3 +273,22 @@ def test_pipeline_salted_canonicalize_parity(spark, triples, tmp_path):
     )
     want = {tuple(r) for r in triples.collect()}
     assert {tuple(r) for r in got.collect()} == want
+
+
+def test_pipeline_auto_canonical_salt(spark, triples, tmp_path):
+    """canonical_salt='auto' resolves through the measured skew heuristic
+    (choose_canonical_salt) inside run_pipeline and still produces the
+    salt-invariant triple set."""
+    cat = Catalog(spark, str(tmp_path / "cat_autosalt"))
+    got = run_pipeline(
+        spark,
+        cat,
+        synth_webtext(spark, N_DOCS),
+        TERM2LABEL,
+        synth_anchor_text(spark, 800),
+        synth_redirects(spark),
+        corpus_fingerprint=f"synth:{N_DOCS}",
+        canonical_salt="auto",
+    )
+    want = {tuple(r) for r in triples.collect()}
+    assert {tuple(r) for r in got.collect()} == want

@@ -85,6 +85,78 @@ def surface_star_edges(anchor: DataFrame, n_salt: int = 1) -> DataFrame:
     return within.unionByName(across)
 
 
+def _surface_skew_stats(anchor: DataFrame) -> tuple[int, int]:
+    """(total distinct (entity, nsurf) rows, hottest surface's row count).
+
+    Same normalization as surface_star_edges (null/blank surfaces dropped,
+    lowercase, distinct per entity), so the stats describe exactly the
+    rows the star window will partition. groupBy().count() partially
+    aggregates map-side — the hot key ships ONE partial row per map task,
+    so measuring the skew is itself skew-safe — and the final agg is a
+    1-row scalar collect (bounded driver action).
+    """
+    surf = (
+        anchor.filter(
+            F.col("surface").isNotNull() & (F.trim(F.col("surface")) != "")
+        )
+        .select("entity", F.lower(F.col("surface")).alias("nsurf"))
+        .distinct()
+    )
+    row = (
+        surf.groupBy("nsurf")
+        .count()
+        .agg(F.sum("count").alias("total"), F.max("count").alias("hot"))
+        .collect()[0]
+    )
+    return int(row["total"] or 0), int(row["hot"] or 0)
+
+
+def choose_canonical_salt(
+    anchor: DataFrame,
+    shuffle_partitions: int | None = None,
+    skew_factor: float = 4.0,
+    max_salt: int = 256,
+) -> int:
+    """Measure surface skew and pick ``n_salt`` for surface_star_edges.
+
+    The star window routes all S rows of one surface through a single
+    task, so a head surface ("USA") bigger than a few median partitions
+    pins a task — AQE cannot split a window key (skew-join handling
+    applies to joins), salting is the only bound (tools/skew_stress.py
+    demonstrates it on a deterministic hot-key corpus). But the salted
+    star costs extra passes, so it should only be enabled when the skew
+    is real: at toy scale the hot key hides inside a median partition
+    and n_salt=1 is strictly faster.
+
+    Policy: with P shuffle partitions the median window task reads
+    ~total/P rows; a surface with more than ``skew_factor`` times that
+    pins a task, and the salt is the smallest power of two that brings
+    the hot key's per-bucket share back under the bound (clamped to
+    ``max_salt`` — 256 buckets bound any key to ~0.4% of the data).
+    One extra aggregation pass over the anchor dim (NOT the corpus);
+    at 100 TB the anchor table is the thesaurus/KB side, orders of
+    magnitude smaller than the webtext, so the probe is cheap relative
+    to the straggler it prevents.
+
+    Pass the result as ``canonicalize_entities(..., n_salt=...)`` or use
+    ``run_pipeline(..., canonical_salt="auto")``.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            anchor.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    total, hot = _surface_skew_stats(anchor)
+    if total == 0:
+        return 1
+    target = skew_factor * total / shuffle_partitions
+    if hot <= target:
+        return 1
+    salt = 1
+    while salt < max_salt and hot / salt > target:
+        salt *= 2
+    return salt
+
+
 def canonicalize_entities(
     anchor: DataFrame,
     redirects: DataFrame | None = None,

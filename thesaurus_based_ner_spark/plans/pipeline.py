@@ -28,6 +28,7 @@ from thesaurus_based_ner_spark.functions.text import SENT_SPLIT_RE, extract_text
 from thesaurus_based_ner_spark.operators.canonicalize import (
     alt_labels,
     canonicalize_entities,
+    choose_canonical_salt,
 )
 from thesaurus_based_ner_spark.operators.linking import (
     candidate_table,
@@ -210,7 +211,7 @@ def run_pipeline(
     strategy: str = "df",
     corpus_fingerprint: str = "",
     checkpoint: str = "minimal",
-    canonical_salt: int = 1,
+    canonical_salt: int | str = 1,
 ) -> DataFrame:
     """Run (or resume) the full pipeline; returns the triples DataFrame.
 
@@ -240,6 +241,12 @@ def run_pipeline(
         corpus_fingerprint, th_fp, strategy,
         _df_digest(anchor), _df_digest(redirects),
     )
+    # canonical_salt="auto" measures the anchor's surface skew and picks
+    # the salt (operators/canonicalize.choose_canonical_salt) — the
+    # resolved int is deterministic for a given anchor + session conf, so
+    # fingerprinting the RESOLVED value keeps resume stable.
+    if canonical_salt == "auto":
+        canonical_salt = choose_canonical_salt(anchor)
     # canonical_salt only changes the canonicalize stage's physical shape
     # (CC output is salt-invariant), so fold it into that stage's
     # fingerprint alone — a salt change must not invalidate the corpus-side

@@ -1508,6 +1508,65 @@ def canonical_components_star(spark, sf_dir):
     return canonicalize_entities(anchor).select("entity", "canonical")
 
 
+@q(
+    "auto_salt_decision",
+    oracle="""
+    WITH surf AS (
+      SELECT DISTINCT 'E' || p_partkey AS entity,
+             lower(string_split(p_name, ' ')[1]) AS nsurf FROM part
+      UNION
+      SELECT DISTINCT 'E' || p_partkey,
+             lower(string_split(p_name, ' ')[-1]) FROM part
+    ),
+    g AS (SELECT nsurf, count(*) AS c FROM surf GROUP BY nsurf),
+    s AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+             CAST(max(c) AS BIGINT) AS max_surface_rows
+      FROM g
+    ),
+    cand AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256]) AS salt)
+    SELECT s.total_rows, s.max_surface_rows,
+           CAST(CASE
+             WHEN s.max_surface_rows <= 4.0 * s.total_rows / 256
+               THEN 1
+             ELSE coalesce(
+               (SELECT min(salt) FROM cand
+                WHERE s.max_surface_rows / salt <= 4.0 * s.total_rows / 256),
+               256)
+           END AS BIGINT) AS chosen_salt
+    FROM s
+    """,
+)
+def auto_salt_decision(spark, sf_dir):
+    """choose_canonical_salt's measured policy as a checkable query: the
+    surface-skew stats (distinct (entity, nsurf) rows; hottest surface's
+    count) and the salt the heuristic picks at a PINNED 256-partition /
+    skew_factor=4 geometry (pinned so the oracle is session-independent).
+    The stats pass is the skew-safe map-side-combined groupBy the
+    heuristic itself runs; the salt formula (smallest power of two that
+    bounds the hot key to 4 median partitions, clamped to 256) is stated
+    twice — here and in SQL — so a drift in either fails the value hash."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        _surface_skew_stats,
+        choose_canonical_salt,
+    )
+
+    p = T(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    anchor = p.select(
+        F.concat(F.lit("E"), "p_partkey").alias("entity"),
+        F.explode(
+            F.array(F.element_at(words, 1), F.element_at(words, -1))
+        ).alias("surface"),
+    )
+    total, hot = _surface_skew_stats(anchor)
+    salt = choose_canonical_salt(anchor, shuffle_partitions=256)
+    return spark.createDataFrame(
+        [(total, hot, salt)],
+        "total_rows long, max_surface_rows long, chosen_salt long",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunker + suffix-typer path (U2/U3: the reference's TwoStage default) and
 # the LSH ANN scale path.
