@@ -95,7 +95,8 @@ _PRIORITY = [
     "hourly_event_rollup",
     "pricing_summary",
     "region_revenue",
-    "top_customers_per_nation",
+    # top_customers_per_nation (r6-green, untouched) displaced out of the
+    # 50-slot window by auto_salt_decision; re-enters in the r9 rotation.
 ]
 
 
