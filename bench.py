@@ -92,6 +92,7 @@ HEADLINE = [
     "mention_spans_dist",
     "np_chunks",
     "canonical_components_star",
+    "auto_salt_decision",
     "metric_diff",
     "mrconso_pipe_scan",
     "ttl_predicate_scan",
