@@ -827,13 +827,16 @@ def _skew_section(bench_dir: str) -> str:
         "bounds the wall only at cluster core counts, hot_fraction >\n"
         "1/cores). head=12.5% makes the hot task bound the wall locally\n"
         "(unsalted wall grows by ~= the straggler task); salting removes\n"
-        "the straggler in BOTH regimes but its ~2-extra-pass overhead\n"
-        "dominates at toy scale, so the salted WALL wins only at cluster\n"
-        "core counts / task-memory limits — the break-even analysis is in\n"
-        "SCALE.md (Canonicalization), and canonical_salt='auto'\n"
-        "(choose_canonical_salt) flips on measured skew, not by default.\n"
-        "The demonstrated contract here is the bound itself: the hot\n"
-        "key's per-task share drops from 37.6x median to 3.3x.\n\n"
+        "the straggler in BOTH regimes at the cost of its extra hub pass,\n"
+        "so the salted WALL pays off at cluster core counts / task-memory\n"
+        "limits — break-even analysis in SCALE.md (Canonicalization);\n"
+        "canonical_salt='auto' (choose_canonical_salt) flips on measured\n"
+        "skew, not by default. The demonstrated contract is the bound\n"
+        "itself: the hot key's per-task share drops from 37.6x median to\n"
+        "3.3x. Rows at window <= '2026-08-18 21:47' ran the pre-r8-fix\n"
+        "salted plan (the union re-executed the big window in both\n"
+        "branches — measured 99.97s at head=12.5%; the groupBy-hub plan\n"
+        "in the same geometry: 27.5s).\n\n"
         "Straggler stage = the pinned-partition window stage; its\n"
         "max/median SHUFFLE-READ ROWS is the deterministic skew witness\n"
         "(sub-second task durations on a shared host carry scheduling\n"

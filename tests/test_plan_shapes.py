@@ -130,6 +130,26 @@ def test_star_edges_window_not_join(spark):
         assert ops.get(join_op, 0) == 0, f"unexpected {join_op} in star edges"
 
 
+def test_salted_star_runs_the_big_window_once(spark):
+    """n_salt>1 must cost ONE full window pass + one map-side-combined
+    groupBy, not two: deriving the bucket hubs from the window output
+    (distinct under the union) re-executed the (nsurf, bucket) window in
+    both union branches (round 8). Exactly two Window nodes — the
+    per-bucket star and the tiny across-hubs window — and no joins."""
+    from thesaurus_based_ner_spark.operators.canonicalize import (
+        surface_star_edges,
+    )
+
+    anchor = spark.createDataFrame(
+        [(f"E{i}", "usa") for i in range(50)], "entity string, surface string"
+    )
+    plan = _raw_plan(surface_star_edges(anchor, n_salt=8))
+    ops = op_counts(plan)
+    assert ops.get("Window", 0) == 2, ops
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert ops.get(join_op, 0) == 0, f"unexpected {join_op} in salted star"
+
+
 def test_first_token_pruning_semi_join_is_broadcast(spark):
     """Past the IN-list limit, first-token pruning must run as a broadcast
     LEFT SEMI join — never a shuffle of the corpus side."""

@@ -74,8 +74,16 @@ def surface_star_edges(anchor: DataFrame, n_salt: int = 1) -> DataFrame:
         F.col("__hub").alias("a"), F.col("entity").alias("b")
     )
     # ≤ n_salt bucket hubs per surface — the second window's partitions
-    # are bounded by n_salt regardless of how hot the surface is.
-    hubs = starred.select("nsurf", F.col("__hub").alias("entity")).distinct()
+    # are bounded by n_salt regardless of how hot the surface is. The
+    # hubs are derived with a groupBy, NOT by re-reading the window's
+    # output (starred.select(nsurf, __hub).distinct()): buckets partition
+    # the entities, so min-per-(nsurf, bucket) IS the window's __hub set,
+    # and the groupBy partially aggregates map-side — one row per group
+    # per map partition crosses the wire (skew-safe by construction)
+    # instead of running the full window a second time under the union
+    # (round 8: the distinct formulation re-executed the window subtree
+    # in both union branches — two full window passes over all rows).
+    hubs = salted.groupBy("nsurf", "__b").agg(F.min("entity").alias("entity"))
     global_hub = F.min("entity").over(Window.partitionBy("nsurf"))
     across = (
         hubs.withColumn("__ghub", global_hub)
