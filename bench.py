@@ -836,7 +836,11 @@ def _skew_section(bench_dir: str) -> str:
         "3.3x. Rows at window <= '2026-08-18 21:47' ran the pre-r8-fix\n"
         "salted plan (the union re-executed the big window in both\n"
         "branches — measured 99.97s at head=12.5%; the groupBy-hub plan\n"
-        "in the same geometry: 27.5s).\n\n"
+        "in the same geometry: 27.5s). Salted WALLS at head=1% swing\n"
+        "39-106s across windows: the within pass sorts ~35M tiny\n"
+        "(surface, bucket) groups — GC-sensitive on this host — so only\n"
+        "same-window pairs are comparable; the rows ratios are exact\n"
+        "across every window.\n\n"
         "Straggler stage = the pinned-partition window stage; its\n"
         "max/median SHUFFLE-READ ROWS is the deterministic skew witness\n"
         "(sub-second task durations on a shared host carry scheduling\n"

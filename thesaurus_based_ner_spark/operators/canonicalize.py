@@ -82,7 +82,14 @@ def surface_star_edges(anchor: DataFrame, n_salt: int = 1) -> DataFrame:
     # per map partition crosses the wire (skew-safe by construction)
     # instead of running the full window a second time under the union
     # (round 8: the distinct formulation re-executed the window subtree
-    # in both union branches — two full window passes over all rows).
+    # in both union branches — two full window passes over all rows,
+    # i.e. the HOT partition ran twice; measured 99.97s -> 27.5s at 64M
+    # rows / 12.5% head, BENCH/skew_stress.jsonl). Catalyst elides the
+    # distinct under this agg (min is duplicate-insensitive), so the
+    # branch plans as an independent scan + map-side agg: the anchor dim
+    # is scanned twice, which is the right trade — the dim is orders of
+    # magnitude smaller than the corpus, while the window pass it
+    # replaces carried the skew.
     hubs = salted.groupBy("nsurf", "__b").agg(F.min("entity").alias("entity"))
     global_hub = F.min("entity").over(Window.partitionBy("nsurf"))
     across = (
