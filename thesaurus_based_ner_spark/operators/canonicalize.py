@@ -169,7 +169,10 @@ def choose_canonical_salt(
     salt = 1
     while salt < max_salt and hot / salt > target:
         salt *= 2
-    return salt
+    # A non-power-of-two max_salt could be overshot by the doubling loop
+    # (max_salt=100 would return 128); honor the documented clamp
+    # (ADVICE r8). No-op for the default 256.
+    return min(salt, max_salt)
 
 
 def canonicalize_entities(

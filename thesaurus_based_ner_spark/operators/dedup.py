@@ -314,26 +314,30 @@ def simhash_pairs(
         blocks = blk if blocks is None else blocks.unionByName(blk)
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cands = (
-        a.join(
-            b,
-            (F.col("a.side") == F.col("b.side"))
-            & (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
-        .distinct()
+    # Verify-then-distinct (r9, same rule as embedding_neardup_pairs):
+    # hamming is a pure function of (sha, shb), so filtering before the
+    # distinct is value-identical and shrinks the distinct's shuffle from
+    # the full candidate multiset (every block collision, ≤4 occurrences
+    # per pair) to the verified near-dup pairs only. The popcount runs in
+    # the same codegen stage as the join — a ≤4x-redundant bit_count per
+    # duplicate occurrence replaces a multi-GB exchange.
+    cands = a.join(
+        b,
+        (F.col("a.side") == F.col("b.side"))
+        & (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("a.sh").alias("sha"),
+        F.col("b.sh").alias("shb"),
     )
     hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return (
         cands.withColumn("hamming", hamming.cast("bigint"))
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
+        .distinct()
     )
 
 
@@ -383,23 +387,30 @@ def embedding_neardup_pairs(
     b = buckets.alias("b")
     from thesaurus_based_ner_spark.operators.simsearch import _cos
 
-    cands = (
-        a.join(
-            b,
-            (F.col("a.table") == F.col("b.table"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a_id"),
-            F.col("b.id").alias("b_id"),
-            F.col("a.e").alias("ea"),
-            F.col("b.e").alias("eb"),
-        )
-        .dropDuplicates(["a_id", "b_id"])
+    # Score-then-distinct (r9, guide §2.3/§2.4): cos is a pure function of
+    # the pair, so filtering BEFORE the distinct is value-identical — and it
+    # moves the dedup from the full candidate multiset (N²/2^n_bits rows,
+    # each carrying TWO dim-double arrays through a SortAggregate exchange;
+    # measured 151.9s at sf1.0) to the tiny verified-pair set. The candidate
+    # join output flows straight into codegen cos + filter with no exchange;
+    # a pair found by both tables costs one redundant cos, not a wide
+    # shuffle. Distinct keys include cos (functionally dependent on the
+    # pair) so the dedup is a scalar-key HashAggregate, not first()-on-array
+    # SortAggregate.
+    cands = a.join(
+        b,
+        (F.col("a.table") == F.col("b.table"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("a_id"),
+        F.col("b.id").alias("b_id"),
+        F.col("a.e").alias("ea"),
+        F.col("b.e").alias("eb"),
     )
     return (
         cands.withColumn("cos", F.round(_cos("ea", "eb", dim), 6))
         .filter(F.col("cos") >= threshold)
         .select("a_id", "b_id", "cos")
+        .dropDuplicates(["a_id", "b_id", "cos"])
     )

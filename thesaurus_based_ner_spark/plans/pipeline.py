@@ -247,6 +247,13 @@ def run_pipeline(
     # fingerprinting the RESOLVED value keeps resume stable.
     if canonical_salt == "auto":
         canonical_salt = choose_canonical_salt(anchor)
+    elif not isinstance(canonical_salt, int):
+        # a typo like "Auto" would otherwise flow through as n_salt and
+        # only fail deep inside surface_star_edges with an obscure
+        # str-vs-int TypeError (ADVICE r8)
+        raise ValueError(
+            f"canonical_salt must be an int or 'auto', got {canonical_salt!r}"
+        )
     # canonical_salt only changes the canonicalize stage's physical shape
     # (CC output is salt-invariant), so fold it into that stage's
     # fingerprint alone — a salt change must not invalidate the corpus-side

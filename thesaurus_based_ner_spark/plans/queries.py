@@ -170,6 +170,8 @@ def region_revenue(spark, sf_dir):
     """,
 )
 def top_customers_per_nation(spark, sf_dir):
+    # (r9: a spread() here was measured 1.4s -> 1.9s at sf1.0 — the probe
+    # is too cheap per row for the extra exchange to pay; left unspread)
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
     tot = (
@@ -217,7 +219,12 @@ def top_customers_per_nation(spark, sf_dir):
 def argmax_part_per_order(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_orderkey").orderBy(F.col("l_quantity").desc())
-    wt = Window.partitionBy("l_orderkey", "l_quantity")
+    # ties = peer count under the SAME window spec (RANGE CURRENT ROW =
+    # rows with equal l_quantity): one Sort + one Window operator instead
+    # of a second (l_orderkey, l_quantity) partitioning + sort pass (r9,
+    # guide §2.4 — same-keyed windows share the exchange AND the sort).
+    # Identical to COUNT(*) OVER (PARTITION BY l_orderkey, l_quantity).
+    wt = w.rangeBetween(Window.currentRow, Window.currentRow)
     return (
         li.withColumn("rk", F.rank().over(w))
         .withColumn("ties", F.count("*").over(wt))
@@ -310,8 +317,14 @@ def suffix_anomaly(spark, sf_dir):
     """,
 )
 def order_window_overlaps(spark, sf_dir):
-    o = T(spark, sf_dir, "orders")
-    a = o.alias("a")
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    # spread the probe side: customer is broadcast-joined, so the whole
+    # pair expansion + count runs in the probe stage, which a 1-2
+    # row-group orders scan pins to 1-2 cores (r9). The build side stays
+    # unspread — it is hashed once either way.
+    a = spread(o).alias("a")
     b = o.alias("b")
     return (
         a.join(
@@ -712,7 +725,13 @@ def canonical_url_dedup(spark, sf_dir):
     fragment) must all fold to one closed-form canonical url. The oracle
     states that expected form directly from the table columns, so any
     parse_url / normalization regression breaks the value compare."""
-    o = T(spark, sf_dir, "orders")
+    # spread() BEFORE the 4-way explode + parse_url/regexp chain: the
+    # single-file orders scan has 1-2 row groups, serializing ~6M urls of
+    # per-row regex work onto 1-2 cores (39.8s at sf1.0). The repartition
+    # ships only the two key columns (narrow shuffle), the url synthesis
+    # and canonicalization then run on every core; no-op at real scale
+    # (many files). Results unchanged — the groupBy re-shuffles anyway.
+    o = spread(T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey"))
     ck = F.col("o_custkey").cast("string")
     ok = F.col("o_orderkey").cast("string")
     v = F.array(
@@ -895,7 +914,13 @@ def salted_segment_revenue(spark, sf_dir):
     cluster scale this bounds any single reducer's share of a hot custkey.
     """
     n_salt = 8
-    o = T(spark, sf_dir, "orders").withColumn(
+    # spread the fact side (r9): 1-2 row-group scan pins the salted join
+    # probe + partial agg to 1-2 cores otherwise
+    o = spread(
+        T(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+    ).withColumn(
         "__salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt))
     )
     c = (
@@ -1259,10 +1284,14 @@ def cosine_topk(spark, sf_dir):
     # delegate to the operator under test — it IS what this oracle
     # verifies, and its unrolled fixed-dim cosine stays in codegen where
     # an inline HOF re-implementation would run interpreted
-    e = T(spark, sf_dir, "embeddings").select(
+    base = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    qv = e.filter("vec_id < 8").select(
+    # spread the corpus side: the single-row-group embeddings file scans
+    # as ONE task, serializing N×Q unrolled cosines onto one core (r9,
+    # guide §2.5 input skew); the query side stays an unspread 8-row scan
+    e = spread(base)
+    qv = base.filter("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     return simsearch.brute_force_topk(e, qv, k=5, dim=64)
@@ -1760,10 +1789,13 @@ _ANN_BITS, _ANN_DIM, _ANN_SEED, _ANN_TABLES = 8, 64, 42, 2
     ),
 )
 def ann_lsh_topk(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings").select(
+    base = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    qv = e.filter("vec_id < 8").select(
+    # spread: single-row-group scan = one task for the per-vector bucket
+    # HOFs and candidate cosines (r9); query side stays tiny/unspread
+    e = spread(base)
+    qv = base.filter("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     return simsearch.lsh_topk(
@@ -1799,7 +1831,10 @@ def ann_lsh_topk(spark, sf_dir):
     """.replace("{planes}", _lsh_planes_sql(4, 64, 42, 2)),
 )
 def dedup_embedding(spark, sf_dir):
-    e = T(spark, sf_dir, "embeddings")
+    # spread: the checkpointed bucket frame inherits the scan's 1-task
+    # partitioning, so without this the whole candidate join + cosine
+    # verify ran on one or two cores (r9)
+    e = spread(T(spark, sf_dir, "embeddings"))
     return dedup.embedding_neardup_pairs(
         e, "vec_id", "embedding", threshold=0.4, n_bits=4, dim=64, seed=42, n_tables=2
     )
@@ -1847,10 +1882,12 @@ def ann_ivf_topk(spark, sf_dir):
     """IVF ANN top-k (operators/simsearch.ivf_topk): deterministic
     md5-sampled coarse centroids, 4-of-16 cell probe, exact re-rank.
     Value-exact vs the DuckDB oracle replicating the same quantizer."""
-    e = T(spark, sf_dir, "embeddings").select(
+    base = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    qv = e.filter("vec_id < 8").select(
+    # spread: see ann_lsh_topk — one-task scan serialized assignment + probe
+    e = spread(base)
+    qv = base.filter("vec_id < 8").select(
         F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
     )
     return simsearch.ivf_topk(e, qv, k=5, n_cells=16, n_probe=4)

@@ -91,6 +91,17 @@ def get_spark(
             "spark.python.worker.killOnIdleTimeout",
             "true" if kill_on_idle else "false",
         )
+        # ContextCleaner only reclaims dropped localCheckpoint / broadcast
+        # blocks when a driver GC collects their weak refs, and its
+        # fallback periodic GC defaults to 30 MIN — so a long multi-query
+        # session (the bench runs ~80 queries, many of which checkpoint
+        # multi-GB intermediates at sf1.0) accumulates dead storage blocks
+        # for half an hour, and later queries run under escalating heap
+        # pressure (r8 verdict: vector-family walls 2-3x their fresh-JVM
+        # times in-session). A 2-minute periodic GC bounds that
+        # accumulation; on a cluster the same trigger frees executor
+        # blocks, so the setting is scale-neutral (guide §5).
+        .config("spark.cleaner.periodicGC.interval", "2min")
         # Spark 4.1.2: RemoveRedundantAliases emits invalid plans (and
         # checkpoint/cache canonicalization NoSuchElementExceptions) on
         # iterative self-join graphs over checkpointed frames; excluding it
