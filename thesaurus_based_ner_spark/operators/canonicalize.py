@@ -187,7 +187,10 @@ def canonicalize_entities(
             F.col("src").alias("a"), F.col("root").alias("b")
         )
         edges = edges.unionByName(red)
-    cc = connected_components_twostar(edges.distinct())
+    # no pre-distinct: connected_components_twostar canonicalizes and
+    # dedupes the edge set itself — a distinct here was a third full
+    # shuffle of the same edges (r9)
+    cc = connected_components_twostar(edges)
     all_entities = anchor.select("entity").distinct()
     return (
         all_entities.join(

@@ -262,10 +262,12 @@ def connected_components_twostar(
     At fixpoint every node points directly at its component min.
     """
     _ensure_safe_optimizer(edges.sparkSession)
-    e = (
-        edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    # one distinct, after canonicalization: a pre-canonical distinct would
+    # be strictly redundant (the (greatest, least) distinct below yields
+    # the identical edge set from duplicated or mirrored input) and cost a
+    # second full shuffle of the edge set before the loop (r9)
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v")).filter(
+        F.col("u") != F.col("v")
     )
     # operate on canonical (big, small) pairs, symmetrize per round
     cur = e.select(
