@@ -213,7 +213,35 @@ def minhash_lsh_pairs(
             f"bands ({bands}) must divide n_hashes ({n_hashes})"
         )
     rows = n_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, k, n_hashes)
+    # ONE corpus pass (r9): the per-doc distinct shingle ARRAYS feed both
+    # the minhash signatures (exploded below) and the exact-Jaccard
+    # verification sets — previously the corpus was tokenized + shingled
+    # twice (minhash_signatures' pass plus the `sets` pass).
+    pre = df.select(
+        F.col(id_col).alias("id"), _tokens(text_col).alias("__toks")
+    ).select("id", _shingle_col(k).alias("shset"))
+    try:
+        pre = pre.localCheckpoint(eager=True)
+    except Exception:
+        pass
+    sh = pre.select("id", F.explode("shset").alias("shingle")).withColumn(
+        "__h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE31))
+    )
+    coeffs = _minhash_coeffs(n_hashes)
+    aggs = [
+        F.min(
+            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE31))
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    sig = (
+        sh.groupBy("id")
+        .agg(*aggs)
+        .select(
+            "id",
+            F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig"),
+        )
+    )
     # signatures are docs × n_hashes ints — materialize once; the bucket
     # frame below is SELF-joined, so without this the whole shingle +
     # minhash subtree (the expensive corpus pass) executes twice (same
@@ -255,19 +283,11 @@ def minhash_lsh_pairs(
     # exact verification on CANDIDATE PAIRS ONLY: join each side's distinct
     # shingle array (≤ doc length) and intersect — O(|cands|·len), no
     # all-pairs shingle equi-join. Jaccard formula identical to
-    # ngram_jaccard_pairs so the exact query remains the oracle.
-    sets = (
-        df.select(F.col(id_col).alias("id"), _tokens(text_col).alias("__toks"))
-        .select("id", _shingle_col(k).alias("shset"))
-    )
-    # referenced once per pair side — checkpoint so the corpus is
-    # re-shingled zero more times (one materialization, two reads)
-    try:
-        sets = sets.localCheckpoint(eager=True)
-    except Exception:
-        pass
-    sa = sets.select(F.col("id").alias("a_id"), F.col("shset").alias("sa"))
-    sb = sets.select(F.col("id").alias("b_id"), F.col("shset").alias("sb"))
+    # ngram_jaccard_pairs so the exact query remains the oracle. The
+    # arrays come from the SAME checkpointed frame the signatures were
+    # derived from — zero additional corpus passes (r9).
+    sa = pre.select(F.col("id").alias("a_id"), F.col("shset").alias("sa"))
+    sb = pre.select(F.col("id").alias("b_id"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))
     jac = inter / (F.size("sa") + F.size("sb") - inter)
     return (

@@ -2102,6 +2102,14 @@ def entity_pagerank(spark, sf_dir):
         F.concat(F.lit("P"), "l_partkey").alias("src"),
         F.concat(F.lit("S"), "l_suppkey").alias("dst"),
     )
+    # 6M edge rows dedupe to 5.99M — pagerank's internal distinct gets a
+    # useless map-side partial aggregate (reduction 1.0x, multi-100k-entry
+    # hash tables per task). Repartitioning on the keys first moves the
+    # exchange below both aggregate passes: measured 2x on the distinct
+    # (7.4→3.2s first / 3.1→1.7s steady at sf1.0). Same trick as
+    # ngram_jaccard_pairs; partition count from the session conf.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(n_part, "src", "dst")
     return graph.pagerank(edges, iters=5, damping=0.85)
 
 

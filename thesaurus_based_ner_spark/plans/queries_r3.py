@@ -630,8 +630,7 @@ def _register_span_mismatch():
         span_mismatch_analysis,
     )
     from thesaurus_based_ner_spark.plans.queries_ext import (
-        _gold_spans,
-        _pred_spans,
+        _span_diff_frames,
     )
 
     @q("span_mismatch", oracle=_span_mismatch_oracle())
@@ -639,10 +638,14 @@ def _register_span_mismatch():
         """Boundary-delta span classification (analyze_span_mismatch.py):
         TP / FP / early-late start-end counters per predicted label plus
         the All row, over the deterministic token-length-run gold/pred
-        fixture pair."""
-        return span_mismatch_analysis(
-            _pred_spans(spark, sf_dir), _gold_spans(spark, sf_dir), ["doc_id"]
-        )
+        fixture pair. r9: the analysis references pred 3x and gold 3x
+        (semi/anti/inner/anti joins), so the non-checkpointed fixtures
+        re-derived the tokenize+posexplode+island-window subtree per
+        reference; the single-pass checkpointed run frame
+        (_span_diff_frames, the r3 fix for dataset_span_diff) produces
+        the identical gold/pred runs from ONE corpus pass."""
+        gold, pred = _span_diff_frames(spark, sf_dir)
+        return span_mismatch_analysis(pred, gold, ["doc_id"])
 
 
 _register_span_mismatch()
