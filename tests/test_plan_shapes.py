@@ -240,3 +240,67 @@ def test_greedy_pandas_single_group_shuffle(spark):
         )
     )
     assert "FlatMapGroupsInPandas" not in hof_plan
+
+
+# ---------------------------------------------------------------------------
+# r9 optimization guards: score-then-distinct dedup shapes + skip-partial-agg
+# ---------------------------------------------------------------------------
+
+def test_dedup_embedding_scores_before_distinct(spark, sf_dir):
+    """The candidate dedup must run on scalar (a_id, b_id, cos) keys AFTER
+    the cosine filter — never a first()-on-array SortAggregate over the
+    full candidate multiset carrying both embedding arrays (the r8 shape
+    cost 151.9s at sf1.0)."""
+    plan = plan_of(spark, "dedup_embedding", sf_dir)
+    ops = op_counts(plan)
+    assert "first(" not in plan, "distinct must not carry the arrays"
+    assert ops.get("SortAggregate", 0) == 0, ops
+    assert ops.get("HashAggregate", 0) >= 2, "scalar-key distinct"
+
+
+def test_dedup_simhash_filters_before_distinct(spark, sf_dir):
+    """Hamming verify runs in the join stage; the distinct sees verified
+    pairs only (no first()-carrying aggregate of raw candidates)."""
+    plan = plan_of(spark, "dedup_simhash", sf_dir)
+    assert "first(" not in plan
+    assert op_counts(plan).get("SortAggregate", 0) == 0
+
+
+def test_ngram_jaccard_no_postagg_size_joins(spark, sf_dir):
+    """na/nb ride the pair rows as grouping keys: exactly ONE join (the
+    shared-shingle self-join) and the pair-count exchange sits BELOW both
+    aggregate passes (skip-useless-partial-agg shape)."""
+    plan = plan_of(spark, "dedup_ngram_jaccard", sf_dir)
+    ops = op_counts(plan)
+    joins = sum(
+        ops.get(j, 0)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert joins == 1, f"size joins must be gone: {ops}"
+    assert "REPARTITION_BY_NUM" in plan, "pair agg must shuffle raw rows"
+
+
+def test_ngram_jaccard_keeps_exact_threshold_boundary(spark):
+    """The size-ratio prune must keep J == threshold exactly: doc A's
+    shingles ⊂ doc B's with |A|=2, |B|=4 → J = 2/(2+4-2) = 0.5 at
+    t=0.5 — the boundary pair (1+t)·min == t·(na+nb)."""
+    from thesaurus_based_ner_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d e f")], "id long, text string"
+    )
+    rows = dedup.ngram_jaccard_pairs(
+        df, "id", "text", k=3, threshold=0.5
+    ).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 0.5, rows
+
+
+def test_minhash_single_corpus_pass(spark, sf_dir):
+    """Signatures and verification sets share ONE checkpointed shingle
+    frame — the corpus must not be tokenized twice (scan count over the
+    documents file stays at the checkpoint's)."""
+    plan = plan_of(spark, "dedup_minhash_lsh", sf_dir)
+    assert plan.count("regexp_extract_all") == 0, (
+        "tokenization must happen before the checkpoint, not in the "
+        "final plan"
+    )
